@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Headline benchmark: decoded info throughput on one chip.
+
+Config per BASELINE.json north star: BG1, Z=384 (A=8448), rate 1/3, QPSK,
+normalized min-sum, full end-to-end chain (encode + modulate + AWGN + exact
+LLR demod + BP decode + CRC gating) at an Es/N0 near the waterfall so early
+termination reflects realistic iteration counts.
+
+Prints one JSON line:
+  {"metric": "decoded_info_mbps_per_chip", "value": N, "unit": "Mbit/s",
+   "vs_baseline": N}
+
+vs_baseline is measured codewords/s divided by an estimated MATLAB
+single-threaded rate for the same config (comm.LDPCDecoder sum-product,
+~25k-bit codewords at tens of iterations ~= 20 codewords/s; the reference
+publishes no numbers — BASELINE.json "published": {}).  Target is >= 100x.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+MATLAB_CODEWORDS_PER_SEC_EST = 20.0  # documented assumption, see module docstring
+
+
+def main():
+    from functools import partial
+
+    from ldpc_3gpp_tpu.models.chain import ChainConfig, simulate_batch
+    from ldpc_3gpp_tpu.spec.params import LDPCParams
+
+    # A=8424 -> B=8448=K_cb: single code block, K'=8448, Z=384 (the north-star
+    # kernel shape: BG1, Z=384, min-sum).
+    A, rate, qm = 8424, 1 / 3, 2
+    G = round(A / rate / qm) * qm
+    params = LDPCParams(BG=1, A=A, G=G, Q_m=qm)
+    assert params.Z_c == 384 and params.C == 1
+    cfg = ChainConfig(
+        params=params,
+        modulation="QPSK",
+        rv_sequence=(0,),
+        iterations=12,
+        algorithm="min-sum",
+        early_termination=True,
+    )
+
+    batch = 32
+    esn0 = 1.0  # near the BG1 R=1/3 waterfall: realistic iteration mix
+    sim = jax.jit(partial(simulate_batch, cfg, batch=batch))
+
+    # compile + warmup
+    key = jax.random.PRNGKey(0)
+    r = sim(key, jnp.asarray(esn0, jnp.float32))
+    jax.block_until_ready(r)
+
+    reps = 5
+    t0 = time.perf_counter()
+    errs = 0
+    for i in range(reps):
+        r = sim(jax.random.PRNGKey(i + 1), jnp.asarray(esn0, jnp.float32))
+        jax.block_until_ready(r)
+        errs += int(r.block_errors)
+    dt = time.perf_counter() - t0
+
+    blocks = reps * batch
+    blocks_per_sec = blocks / dt
+    info_mbps = blocks_per_sec * A / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "decoded_info_mbps_per_chip",
+                "value": round(info_mbps, 3),
+                "unit": "Mbit/s",
+                "vs_baseline": round(blocks_per_sec / MATLAB_CODEWORDS_PER_SEC_EST, 2),
+                "detail": {
+                    "config": "BG1 A=8424 Z=384 R=1/3 QPSK min-sum 12it early-term",
+                    "esn0_db": esn0,
+                    "transport_blocks_per_sec": round(blocks_per_sec, 2),
+                    "block_errors": errs,
+                    "blocks": blocks,
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

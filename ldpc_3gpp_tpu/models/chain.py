@@ -1,0 +1,114 @@
+"""End-to-end link chain: the jittable Monte-Carlo simulation step.
+
+One ``simulate_batch`` call reproduces the inner loop of the reference's
+sweep drivers (plot_BLER_vs_SNR.m:116-162) for a whole batch of transport
+blocks at once: random info bits -> encode -> modulate -> AWGN -> soft
+demodulate -> decode, iterating the HARQ redundancy-version sequence with
+LLR accumulation, and returning error counters.
+
+Everything here is pure and shape-static: it jits once per
+(config, batch size) and is the unit of work sharded across devices by
+ldpc_3gpp_tpu.parallel.montecarlo.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.channel import awgn, esn0_to_variance
+from ..ops.modulation import Q_M, demodulate, modulate
+from ..spec.params import LDPCParams
+from .decoder import decode_transport_block, init_harq_state
+from .encoder import encode_transport_block
+
+
+@dataclasses.dataclass(frozen=True)
+class ChainConfig:
+    """Static configuration of one simulated link (one BLER curve point set).
+
+    Mirrors the reference driver's arguments (plot_BLER_vs_SNR.m:30-42).
+    """
+
+    params: LDPCParams
+    modulation: str = "QPSK"
+    rv_sequence: Tuple[int, ...] = (0,)
+    iterations: int = 50
+    algorithm: str = "sum-product"
+    alpha: float = 0.8125
+    beta: float = 0.15
+    demod_method: str = "exact"
+    early_termination: bool = True
+
+    def __post_init__(self):
+        assert Q_M[self.modulation] == self.params.Q_m, (
+            f"modulation {self.modulation} has Q_m={Q_M[self.modulation]} but "
+            f"params.Q_m={self.params.Q_m}"
+        )
+
+
+class BatchResult(NamedTuple):
+    blocks: jax.Array  # () number of transport blocks simulated
+    block_errors: jax.Array  # () blocks where a_hat != a (or never decoded)
+    bit_errors: jax.Array  # () info bit errors over the batch
+    iterations: jax.Array  # () total BP iterations spent (all CBs, all rvs)
+    tb_ok: jax.Array  # (batch,) per-block success (for found-start logic)
+
+
+def simulate_batch(
+    cfg: ChainConfig, key: jax.Array, esn0_db, batch: int
+) -> BatchResult:
+    """Simulate ``batch`` independent transport blocks at Es/N0 ``esn0_db``.
+
+    Each block runs the HARQ loop of plot_BLER_vs_SNR.m:124-137: encode and
+    transmit rv_sequence[0], then accumulate retransmissions until the TB
+    decodes.  Already-decoded blocks are frozen while the batch continues.
+    """
+    p0 = cfg.params
+    noise_var = esn0_to_variance(esn0_db)
+
+    key_a, key_ch = jax.random.split(key)
+    a = jax.random.bernoulli(key_a, 0.5, (batch, p0.A)).astype(jnp.int8)
+
+    state = init_harq_state(p0, (batch,))
+    success = jnp.zeros((batch,), bool)
+    a_hat = jnp.zeros_like(a)
+    total_iters = jnp.zeros((), jnp.int32)
+
+    for stage, rv in enumerate(cfg.rv_sequence):
+        p = p0.with_rv(rv)
+        g = encode_transport_block(p, a)
+        tx = modulate(g, cfg.modulation)
+        rx = awgn(jax.random.fold_in(key_ch, stage), tx, noise_var)
+        llr = demodulate(rx, cfg.modulation, noise_var, cfg.demod_method)
+        res = decode_transport_block(
+            p,
+            llr,
+            state,
+            iterations=cfg.iterations,
+            algorithm=cfg.algorithm,
+            alpha=cfg.alpha,
+            beta=cfg.beta,
+            early_termination=cfg.early_termination,
+        )
+        state = res.state
+        newly = res.tb_ok & ~success
+        a_hat = jnp.where(newly[:, None], res.a_hat, a_hat)
+        success = success | res.tb_ok
+        total_iters = total_iters + jnp.sum(res.iterations).astype(jnp.int32)
+
+    bits_equal = jnp.all(a_hat == a, axis=-1)
+    tb_ok = success & bits_equal  # undetected CRC errors still count as errors
+    bit_errs = jnp.sum(
+        jnp.where(success[:, None], a_hat != a, jnp.ones_like(a, bool))
+    )
+
+    return BatchResult(
+        blocks=jnp.asarray(batch, jnp.int32),
+        block_errors=jnp.sum(~tb_ok).astype(jnp.int32),
+        bit_errors=bit_errs.astype(jnp.int32),
+        iterations=total_iters,
+        tb_ok=tb_ok,
+    )

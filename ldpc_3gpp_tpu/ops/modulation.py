@@ -1,0 +1,125 @@
+"""NR modulation and soft demodulation (TS38.211 Section 5.1).
+
+The reference wraps comm.PSK/RectangularQAM Modulator/Demodulator objects with
+hardcoded custom symbol mappings (NRModulator.m:72-84, NRDemodulator.m:75-84).
+Those custom mappings are exactly the TS38.211 Section 5.1 constellations, so
+here the constellations are generated directly from the 38.211 formulas:
+
+- BPSK:    d = ((1-2b) + j(1-2b)) / sqrt(2)                     (pi/4 PSK)
+- QPSK:    d = ((1-2b0) + j(1-2b1)) / sqrt(2)
+- 16QAM:   d = ((1-2b0)(2-(1-2b2)) + j(1-2b1)(2-(1-2b3))) / sqrt(10)
+- 64QAM / 256QAM: the corresponding nested Gray constructions.
+
+LLR convention matches MATLAB comm demodulators: LLR = log P(b=0) - log P(b=1),
+so a POSITIVE LLR means bit 0 (this is why fillers are pinned to +inf,
+NRLDPCDecoder.m:264).  ``noise_var`` is the total complex noise variance
+(the reference sets Variance = 10^(-EsN0/10), plot_BLER_vs_SNR.m:106).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MODULATIONS: Tuple[str, ...] = ("BPSK", "QPSK", "16QAM", "64QAM", "256QAM")
+
+Q_M = {"BPSK": 1, "QPSK": 2, "16QAM": 4, "64QAM": 6, "256QAM": 8}
+
+
+@functools.lru_cache(maxsize=None)
+def constellation(modulation: str) -> np.ndarray:
+    """Complex constellation indexed by the symbol's bits MSB-first.
+
+    Index m corresponds to bits (b0, ..., b_{Qm-1}) with b0 the MSB, matching
+    the TS38.211 convention that b(Q_m*i) is the first bit of symbol i.
+    """
+    qm = Q_M[modulation]
+    m = np.arange(1 << qm)
+    b = ((m[:, None] >> (qm - 1 - np.arange(qm))) & 1).astype(np.float64)
+    s = 1.0 - 2.0 * b  # bit -> sign: 0 -> +1, 1 -> -1
+
+    if modulation == "BPSK":
+        re = im = s[:, 0]
+        norm = np.sqrt(2.0)
+    elif modulation == "QPSK":
+        re, im = s[:, 0], s[:, 1]
+        norm = np.sqrt(2.0)
+    elif modulation == "16QAM":
+        re = s[:, 0] * (2.0 - s[:, 2])
+        im = s[:, 1] * (2.0 - s[:, 3])
+        norm = np.sqrt(10.0)
+    elif modulation == "64QAM":
+        re = s[:, 0] * (4.0 - s[:, 2] * (2.0 - s[:, 4]))
+        im = s[:, 1] * (4.0 - s[:, 3] * (2.0 - s[:, 5]))
+        norm = np.sqrt(42.0)
+    elif modulation == "256QAM":
+        re = s[:, 0] * (8.0 - s[:, 2] * (4.0 - s[:, 4] * (2.0 - s[:, 6])))
+        im = s[:, 1] * (8.0 - s[:, 3] * (4.0 - s[:, 5] * (2.0 - s[:, 7])))
+        norm = np.sqrt(170.0)
+    else:
+        raise ValueError(f"unsupported modulation {modulation}")
+
+    return ((re + 1j * im) / norm).astype(np.complex64)
+
+
+@functools.lru_cache(maxsize=None)
+def _bit_masks(modulation: str) -> np.ndarray:
+    """(2^Qm, Qm) 0/1 matrix: bit value of each constellation point."""
+    qm = Q_M[modulation]
+    m = np.arange(1 << qm)
+    return ((m[:, None] >> (qm - 1 - np.arange(qm))) & 1).astype(np.float32)
+
+
+def modulate(bits: jax.Array, modulation: str) -> jax.Array:
+    """Map (..., G) bits to (..., G/Q_m) complex symbols."""
+    qm = Q_M[modulation]
+    G = bits.shape[-1]
+    assert G % qm == 0, "bit count must be a multiple of Q_m"
+    groups = bits.reshape(bits.shape[:-1] + (G // qm, qm)).astype(jnp.int32)
+    weights = jnp.asarray(1 << (qm - 1 - np.arange(qm)), dtype=jnp.int32)
+    idx = jnp.sum(groups * weights, axis=-1)
+    table = jnp.asarray(constellation(modulation))
+    return table[idx]
+
+
+def demodulate(
+    y: jax.Array,
+    modulation: str,
+    noise_var,
+    method: str = "exact",
+) -> jax.Array:
+    """Soft demodulate (..., S) symbols to (..., S*Q_m) LLRs.
+
+    method: 'exact'  — true log-sum-exp LLR (MATLAB 'Log-likelihood ratio')
+            'maxlog' — max-log approximation ('Approximate log-likelihood ratio')
+            'hard'   — +/-inf hard decisions ('Hard decision')
+    """
+    qm = Q_M[modulation]
+    pts = jnp.asarray(constellation(modulation))  # (M,)
+    bits = jnp.asarray(_bit_masks(modulation))  # (M, qm)
+
+    # Squared distance to every constellation point, scaled by noise.
+    d2 = jnp.square(jnp.abs(y[..., None] - pts)) / noise_var  # (..., S, M)
+    metric = -d2
+
+    big = jnp.asarray(jnp.finfo(metric.dtype).max, metric.dtype)
+    m0 = jnp.where(bits.T[:, None, :] > 0.5, -jnp.inf, 0.0)  # (qm, 1, M) mask b=0
+    m1 = jnp.where(bits.T[:, None, :] > 0.5, 0.0, -jnp.inf)
+
+    # (..., S, 1, M) + (qm, M) broadcast -> reduce over M.
+    if method == "exact":
+        llr0 = jax.nn.logsumexp(metric[..., None, :] + m0.squeeze(1), axis=-1)
+        llr1 = jax.nn.logsumexp(metric[..., None, :] + m1.squeeze(1), axis=-1)
+    elif method in ("maxlog", "hard"):
+        llr0 = jnp.max(metric[..., None, :] + m0.squeeze(1), axis=-1)
+        llr1 = jnp.max(metric[..., None, :] + m1.squeeze(1), axis=-1)
+    else:
+        raise ValueError(f"unsupported method {method}")
+
+    llr = llr0 - llr1  # (..., S, qm); positive => bit 0
+    if method == "hard":
+        llr = jnp.where(llr >= 0, big, -big)
+    return llr.reshape(y.shape[:-1] + (y.shape[-1] * qm,))

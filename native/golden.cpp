@@ -1,0 +1,336 @@
+// Independent scalar TS38.212 encoder — the conformance oracle.
+//
+// Plays the role MathWorks' nrULSCH plays for the reference (testbench.m:59-68):
+// a second, independently written implementation that the TPU encoder must
+// match bit-for-bit across the randomized parameter space.  Deliberately uses
+// DIFFERENT algorithms from the JAX path wherever possible:
+//   - LDPC parity is solved by dense GF(2) Gaussian elimination on the 4Z x 4Z
+//     core block (not the rotation-cancellation trick),
+//   - rate matching is the literal spec while-loop with filler markers (not a
+//     precomputed gather),
+//   - CRC is bit-serial long division (not a generator-matrix matmul).
+//
+// Exposed via a C ABI for ctypes (no pybind11 in this image).
+//
+// Build: make -C native   (produces libgolden.so)
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "base_graphs.h"
+
+namespace {
+
+constexpr int8_t FILLER = -1;  // marks <NULL> filler bits in d
+
+struct CrcPoly {
+  const int *taps;
+  int ntaps;
+  int len;
+};
+
+// TS38.212 Section 5.1 polynomial exponents.
+const int CRC24A_T[] = {24, 23, 18, 17, 14, 11, 10, 7, 6, 5, 4, 3, 1, 0};
+const int CRC24B_T[] = {24, 23, 6, 5, 1, 0};
+const int CRC16_T[] = {16, 12, 5, 0};
+
+CrcPoly crc24a{CRC24A_T, 14, 24};
+CrcPoly crc24b{CRC24B_T, 6, 24};
+CrcPoly crc16{CRC16_T, 4, 16};
+
+// Bit-serial CRC long division: returns L parity bits (MSB-of-poly first).
+void crc_bits(const uint8_t *msg, int n, const CrcPoly &p, uint8_t *out) {
+  std::vector<uint8_t> buf(n + p.len, 0);
+  std::memcpy(buf.data(), msg, n);
+  std::vector<uint8_t> g(p.len + 1, 0);
+  for (int i = 0; i < p.ntaps; ++i) g[p.len - p.taps[i]] = 1;
+  for (int i = 0; i < n; ++i)
+    if (buf[i])
+      for (int j = 0; j <= p.len; ++j) buf[i + j] ^= g[j];
+  std::memcpy(out, buf.data() + n, p.len);
+}
+
+// TS38.212 Table 5.3.2-1.
+const int kLiftSets[8][8] = {
+    {2, 4, 8, 16, 32, 64, 128, 256}, {3, 6, 12, 24, 48, 96, 192, 384},
+    {5, 10, 20, 40, 80, 160, 320, 0}, {7, 14, 28, 56, 112, 224, 0, 0},
+    {9, 18, 36, 72, 144, 288, 0, 0},  {11, 22, 44, 88, 176, 352, 0, 0},
+    {13, 26, 52, 104, 208, 0, 0, 0},  {15, 30, 60, 120, 240, 0, 0, 0}};
+
+int lifting_size(int K_b, int K_prime, int *i_ls_out) {
+  int best = 1 << 30;
+  for (int s = 0; s < 8; ++s)
+    for (int j = 0; j < 8 && kLiftSets[s][j]; ++j) {
+      int z = kLiftSets[s][j];
+      if ((long)K_b * z >= K_prime && z < best) best = z;
+    }
+  if (best == (1 << 30)) return -1;
+  for (int s = 0; s < 8; ++s)
+    for (int j = 0; j < 8 && kLiftSets[s][j]; ++j)
+      if (kLiftSets[s][j] == best) {
+        *i_ls_out = s;
+        return best;
+      }
+  return -1;
+}
+
+// Dense GF(2) solve of the 4Z x 4Z core system B * p = rhs.
+// Returns false if singular.
+bool solve_core(const std::vector<std::vector<uint64_t>> &B_rows,
+                std::vector<uint8_t> &rhs, int n, std::vector<uint8_t> &sol) {
+  int words = (n + 63) / 64;
+  std::vector<std::vector<uint64_t>> M = B_rows;  // copy, n rows x words
+  std::vector<uint8_t> r = rhs;
+  std::vector<int> pivot_col(n, -1);
+  int row = 0;
+  for (int col = 0; col < n && row < n; ++col) {
+    int sel = -1;
+    for (int i = row; i < n; ++i)
+      if ((M[i][col >> 6] >> (col & 63)) & 1) {
+        sel = i;
+        break;
+      }
+    if (sel < 0) continue;
+    std::swap(M[sel], M[row]);
+    std::swap(r[sel], r[row]);
+    for (int i = 0; i < n; ++i) {
+      if (i == row) continue;
+      if ((M[i][col >> 6] >> (col & 63)) & 1) {
+        for (int w = 0; w < words; ++w) M[i][w] ^= M[row][w];
+        r[i] ^= r[row];
+      }
+    }
+    pivot_col[row] = col;
+    ++row;
+  }
+  if (row < n) return false;
+  sol.assign(n, 0);
+  for (int i = 0; i < n; ++i) sol[pivot_col[i]] = r[i];
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success; negative = unsupported parameters; positive = bug.
+// a: A bits in {0,1}.  g_out: G bits.
+int nr_golden_encode(int BG, int A, long G, int Q_m, int N_L, int rv_id,
+                     int I_LBRM, long TBS_LBRM, const int *CBGTI, int n_cbgti,
+                     const uint8_t *a, uint8_t *g_out) {
+  if (BG < 1 || BG > 2 || A < 0 || G < 0 || rv_id < 0 || rv_id > 3) return -1;
+  if (Q_m != 1 && Q_m != 2 && Q_m != 4 && Q_m != 6 && Q_m != 8) return -1;
+  if (N_L < 1 || N_L > 4) return -1;
+  if (G % ((long)Q_m * N_L) != 0) return -2;
+
+  // --- Section 5.1: TB CRC ---
+  const CrcPoly &tb_poly = (A > 3824) ? crc24a : crc16;
+  int L_tb = tb_poly.len;
+  long B = A + L_tb;
+  std::vector<uint8_t> b(B);
+  std::memcpy(b.data(), a, A);
+  crc_bits(a, A, tb_poly, b.data() + A);
+
+  // --- Section 5.2.2: segmentation ---
+  long K_cb = (BG == 1) ? 8448 : 3840;
+  int C;
+  int L_cb = 0;
+  if (B <= K_cb) {
+    C = 1;
+  } else {
+    L_cb = 24;
+    C = (int)((B + (K_cb - 24) - 1) / (K_cb - 24));
+  }
+  long B_prime = (B <= K_cb) ? B : B + (long)C * L_cb;
+  if (B_prime % C != 0) return -3;
+  long K_prime = B_prime / C;
+  int K_b;
+  if (BG == 1) {
+    K_b = 22;
+  } else {
+    if (K_prime > 640) K_b = 10;
+    else if (K_prime > 560) K_b = 9;
+    else if (K_prime > 192) K_b = 8;
+    else K_b = 6;
+  }
+  int i_ls;
+  int Z = lifting_size(K_b, (int)K_prime, &i_ls);
+  if (Z < 0) return -4;
+  int kb_full = (BG == 1) ? 22 : 10;
+  long K = (long)kb_full * Z;
+  int n_rows = (BG == 1) ? 46 : 42;
+  int n_cols = (BG == 1) ? 68 : 52;
+  long N = (long)(n_cols - 2) * Z;  // 66Z / 50Z
+
+  // per-code-block systematic bits c[r][k], filler marked
+  std::vector<std::vector<int8_t>> c(C, std::vector<int8_t>(K, 0));
+  {
+    long s = 0;
+    for (int r = 0; r < C; ++r) {
+      std::vector<uint8_t> payload(K_prime - L_cb);
+      for (long k = 0; k < K_prime - L_cb; ++k) {
+        payload[k] = b[s++];
+        c[r][k] = payload[k];
+      }
+      if (C > 1) {
+        uint8_t p[24];
+        crc_bits(payload.data(), (int)payload.size(), crc24b, p);
+        for (int k = 0; k < L_cb; ++k) c[r][K_prime - L_cb + k] = p[k];
+      }
+      for (long k = K_prime; k < K; ++k) c[r][k] = FILLER;
+    }
+  }
+
+  // --- Section 5.3.2: LDPC encoding ---
+  const int *bg_row = (BG == 1) ? BG1_ROW : BG2_ROW;
+  const int *bg_col = (BG == 1) ? BG1_COL : BG2_COL;
+  const int *bg_shift = (BG == 1) ? BG1_SHIFT : BG2_SHIFT;
+  int n_edges = (BG == 1) ? BG1_EDGES : BG2_EDGES;
+
+  // Build the 4Z x 4Z core parity matrix (bitset rows) once.
+  int n_core = 4 * Z;
+  int words = (n_core + 63) / 64;
+  std::vector<std::vector<uint64_t>> core(n_core,
+                                          std::vector<uint64_t>(words, 0));
+  for (int e = 0; e < n_edges; ++e) {
+    int r = bg_row[e], col = bg_col[e];
+    if (r < 4 && col >= kb_full && col < kb_full + 4) {
+      int s = bg_shift[e * 8 + i_ls] % Z;
+      for (int z = 0; z < Z; ++z) {
+        int check = r * Z + z;
+        int var = (col - kb_full) * Z + (z + s) % Z;
+        core[check][var >> 6] ^= 1ull << (var & 63);
+      }
+    }
+  }
+
+  std::vector<std::vector<int8_t>> d(C, std::vector<int8_t>(N, 0));
+  for (int r_cb = 0; r_cb < C; ++r_cb) {
+    // encode with fillers treated as 0
+    std::vector<uint8_t> cb(K);
+    for (long k = 0; k < K; ++k) cb[k] = (c[r_cb][k] == FILLER) ? 0 : c[r_cb][k];
+
+    // core syndromes lambda_i (i < 4) from systematic columns
+    std::vector<uint8_t> rhs(n_core, 0);
+    for (int e = 0; e < n_edges; ++e) {
+      int r = bg_row[e], col = bg_col[e];
+      if (r < 4 && col < kb_full) {
+        int s = bg_shift[e * 8 + i_ls] % Z;
+        for (int z = 0; z < Z; ++z)
+          rhs[r * Z + z] ^= cb[(long)col * Z + (z + s) % Z];
+      }
+    }
+    std::vector<uint8_t> p_core;
+    if (!solve_core(core, rhs, n_core, p_core)) return 1;
+
+    // full codeword bits: systematic + core parity + extension parity
+    std::vector<uint8_t> cw((long)n_cols * Z, 0);
+    std::memcpy(cw.data(), cb.data(), K);
+    for (int i = 0; i < n_core; ++i) cw[K + i] = p_core[i];
+    for (int e = 0; e < n_edges; ++e) {
+      int r = bg_row[e], col = bg_col[e];
+      if (r >= 4 && col < kb_full + 4) {
+        int s = bg_shift[e * 8 + i_ls] % Z;
+        for (int z = 0; z < Z; ++z)
+          cw[K + 4ll * Z + (long)(r - 4) * Z + z] ^=
+              cw[(long)col * Z + (z + s) % Z];
+      }
+    }
+
+    // d = cw[2Z:] with filler markers restored (NRLDPCEncoder.m:149-156)
+    for (long k = 2l * Z; k < K; ++k)
+      d[r_cb][k - 2 * Z] = (c[r_cb][k] == FILLER) ? FILLER : (int8_t)cw[k];
+    for (long k = K; k < N + 2l * Z; ++k) d[r_cb][k - 2 * Z] = (int8_t)cw[k];
+  }
+
+  // --- Section 5.4.2.1: rate matching ---
+  long N_ref = (I_LBRM && TBS_LBRM >= 0) ? (3 * TBS_LBRM) / (2 * C) : N;
+  long N_cb = I_LBRM ? std::min(N, N_ref) : N;
+
+  std::vector<int> flags(C, 1);
+  for (int i = 0; i < n_cbgti; ++i)
+    if (CBGTI[i] < C) flags[CBGTI[i]] = 0;
+  int C_prime = 0;
+  for (int r = 0; r < C; ++r) C_prime += flags[r];
+  if (C_prime == 0) return -5;
+
+  long unit = (long)N_L * Q_m;
+  long q = G / unit;
+  std::vector<long> E_r(C, 0);
+  {
+    int j = 0;
+    for (int r = 0; r < C; ++r) {
+      if (!flags[r]) continue;
+      if (j <= C_prime - (int)(q % C_prime) - 1)
+        E_r[r] = unit * (q / C_prime);
+      else
+        E_r[r] = unit * ((q + C_prime - 1) / C_prime);
+      ++j;
+    }
+  }
+
+  long k0;
+  {
+    long num;
+    int den = (BG == 1) ? 66 : 50;
+    if (BG == 1)
+      num = (rv_id == 0) ? 0 : (rv_id == 1) ? 17 : (rv_id == 2) ? 33 : 56;
+    else
+      num = (rv_id == 0) ? 0 : (rv_id == 1) ? 13 : (rv_id == 2) ? 25 : 43;
+    k0 = (num * N_cb) / ((long)den * Z) * Z;
+  }
+
+  long out_pos = 0;
+  for (int r = 0; r < C; ++r) {
+    if (E_r[r] == 0) continue;
+    // Section 5.4.2.1 bit selection: literal spec while-loop
+    std::vector<uint8_t> e(E_r[r]);
+    long k = 0, j = 0;
+    while (k < E_r[r]) {
+      int8_t v = d[r][(k0 + j) % N_cb];
+      if (v != FILLER) e[k++] = (uint8_t)v;
+      ++j;
+    }
+    // Section 5.4.2.2 interleaving: f[i + j*Q_m] = e[i*(E/Q_m) + j]
+    long EoQ = E_r[r] / Q_m;
+    for (long jj = 0; jj < EoQ; ++jj)
+      for (int i = 0; i < Q_m; ++i)
+        g_out[out_pos + i + jj * Q_m] = e[i * EoQ + jj];
+    out_pos += E_r[r];
+  }
+  return (out_pos == G) ? 0 : 2;
+}
+
+// Convenience: expose derived parameters for cross-checking the Python engine.
+int nr_golden_params(int BG, int A, long G, int Q_m, int N_L, int rv_id,
+                     int I_LBRM, long TBS_LBRM, long *out /* 8 slots */) {
+  const CrcPoly &tb_poly = (A > 3824) ? crc24a : crc16;
+  long B = A + tb_poly.len;
+  long K_cb = (BG == 1) ? 8448 : 3840;
+  int C = (B <= K_cb) ? 1 : (int)((B + (K_cb - 24) - 1) / (K_cb - 24));
+  int L_cb = (B <= K_cb) ? 0 : 24;
+  long B_prime = (B <= K_cb) ? B : B + (long)C * L_cb;
+  if (B_prime % C != 0) return -3;
+  long K_prime = B_prime / C;
+  int K_b;
+  if (BG == 1) K_b = 22;
+  else if (K_prime > 640) K_b = 10;
+  else if (K_prime > 560) K_b = 9;
+  else if (K_prime > 192) K_b = 8;
+  else K_b = 6;
+  int i_ls;
+  int Z = lifting_size(K_b, (int)K_prime, &i_ls);
+  if (Z < 0) return -4;
+  out[0] = C;
+  out[1] = K_prime;
+  out[2] = K_b;
+  out[3] = Z;
+  out[4] = i_ls;
+  out[5] = (long)((BG == 1) ? 22 : 10) * Z;
+  out[6] = (long)((BG == 1) ? 66 : 50) * Z;
+  out[7] = B;
+  return 0;
+}
+
+}  // extern "C"

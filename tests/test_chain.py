@@ -1,0 +1,161 @@
+"""Full TS38.212 chain: encode->channel->decode roundtrips, HARQ, multi-CB."""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpc_3gpp_tpu.models.chain import ChainConfig, simulate_batch
+from ldpc_3gpp_tpu.models.decoder import decode_transport_block, init_harq_state
+from ldpc_3gpp_tpu.models.encoder import encode_transport_block
+from ldpc_3gpp_tpu.ops.channel import awgn, esn0_to_variance
+from ldpc_3gpp_tpu.ops.modulation import demodulate, modulate
+from ldpc_3gpp_tpu.spec.params import LDPCParams
+
+RNG = np.random.default_rng(9)
+
+
+def _roundtrip(p, modulation, esn0, batch=4, iterations=20, state=None, key=0):
+    a = jnp.asarray(RNG.integers(0, 2, size=(batch, p.A)).astype(np.int8))
+    g = encode_transport_block(p, a)
+    assert g.shape == (batch, p.G)
+    tx = modulate(g, modulation)
+    var = esn0_to_variance(esn0)
+    rx = awgn(jax.random.PRNGKey(key), tx, var)
+    llr = demodulate(rx, modulation, var, "exact")
+    res = decode_transport_block(p, llr, state, iterations=iterations)
+    return a, res
+
+
+@pytest.mark.parametrize(
+    "bg,A,rate,modulation",
+    [
+        (2, 100, 1 / 2, "QPSK"),
+        (1, 1000, 1 / 3, "QPSK"),
+        (2, 50, 1 / 4, "BPSK"),
+        (1, 2000, 1 / 2, "16QAM"),
+        (1, 3000, 2 / 3, "64QAM"),
+        (2, 300, 1 / 3, "256QAM"),
+    ],
+)
+def test_roundtrip_high_snr(bg, A, rate, modulation):
+    from ldpc_3gpp_tpu.ops.modulation import Q_M
+
+    qm = Q_M[modulation]
+    G = round(A / rate / qm) * qm
+    p = LDPCParams(BG=bg, A=A, G=G, Q_m=qm)
+    a, res = _roundtrip(p, modulation, esn0=30.0)
+    assert np.asarray(res.tb_ok).all()
+    np.testing.assert_array_equal(np.asarray(res.a_hat), np.asarray(a))
+
+
+def test_multi_code_block_roundtrip():
+    # A=8448 BG1 -> C=2 with CB CRCs; A=20004 -> C=3
+    for A in (8448, 20004):
+        G = 3 * A
+        p = LDPCParams(BG=1, A=A, G=G, Q_m=2)
+        assert p.C > 1
+        a, res = _roundtrip(p, "QPSK", esn0=20.0, batch=2)
+        assert np.asarray(res.tb_ok).all()
+        np.testing.assert_array_equal(np.asarray(res.a_hat), np.asarray(a))
+        assert np.asarray(res.cb_crc_ok).all()
+
+
+def test_failure_flags_at_low_snr():
+    p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
+    a, res = _roundtrip(p, "QPSK", esn0=-15.0, iterations=5)
+    assert not np.asarray(res.tb_ok).any()
+
+
+def test_harq_chase_combining_gain():
+    """A block undecodable in one shot decodes after LLR accumulation."""
+    p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
+    batch = 16
+    a = jnp.asarray(RNG.integers(0, 2, size=(batch, p.A)).astype(np.int8))
+    esn0 = -1.5  # too low for single-shot rate 1/3ish
+    var = esn0_to_variance(esn0)
+    g = encode_transport_block(p, a)
+    state = init_harq_state(p, (batch,))
+    successes = []
+    for t in range(4):  # 4 chase retransmissions of rv 0
+        tx = modulate(g, "QPSK")
+        rx = awgn(jax.random.PRNGKey(100 + t), tx, var)
+        llr = demodulate(rx, "QPSK", var, "exact")
+        res = decode_transport_block(p, llr, state, iterations=20)
+        state = res.state
+        successes.append(int(np.asarray(res.tb_ok).sum()))
+    assert successes[-1] > successes[0], successes
+    assert successes[-1] >= batch * 3 // 4, successes
+
+
+def test_harq_incremental_redundancy():
+    """rv 0 then rv 2 provides new parity and decodes a punctured block."""
+    A, Qm = 1000, 2
+    G = 1600  # high rate: rv0 alone fails at this SNR
+    p0 = LDPCParams(BG=1, A=A, G=G, Q_m=Qm, rv_id=0)
+    batch = 8
+    a = jnp.asarray(RNG.integers(0, 2, size=(batch, A)).astype(np.int8))
+    esn0 = 2.0
+    var = esn0_to_variance(esn0)
+    state = init_harq_state(p0, (batch,))
+    succ = []
+    for t, rv in enumerate((0, 2)):
+        p = p0.with_rv(rv)
+        g = encode_transport_block(p, a)
+        tx = modulate(g, "QPSK")
+        rx = awgn(jax.random.PRNGKey(7 + t), tx, var)
+        llr = demodulate(rx, "QPSK", var, "exact")
+        res = decode_transport_block(p, llr, state, iterations=25)
+        state = res.state
+        succ.append(int(np.asarray(res.tb_ok).sum()))
+    assert succ[1] > succ[0], succ
+
+
+def test_cbgti_excluded_blocks_come_from_buffer():
+    """Retransmission excluding CB 0 still decodes using the latched copy."""
+    A = 20004
+    p_all = LDPCParams(BG=1, A=A, G=3 * A, Q_m=2)
+    C = p_all.C
+    a = jnp.asarray(RNG.integers(0, 2, size=(2, A)).astype(np.int8))
+    var = esn0_to_variance(20.0)
+    # transmission 1: all code blocks
+    state = init_harq_state(p_all, (2,))
+    g = encode_transport_block(p_all, a)
+    tx = modulate(g, "QPSK")
+    rx = awgn(jax.random.PRNGKey(21), tx, var)
+    res1 = decode_transport_block(
+        p_all, demodulate(rx, "QPSK", var, "exact"), state
+    )
+    assert np.asarray(res1.tb_ok).all()
+    # transmission 2: exclude block 0; decode must still succeed via buffer
+    p_part = LDPCParams(BG=1, A=A, G=3 * A, Q_m=2, CBGTI=(0,))
+    g2 = encode_transport_block(p_part, a)
+    tx2 = modulate(g2, "QPSK")
+    rx2 = awgn(jax.random.PRNGKey(22), tx2, var)
+    res2 = decode_transport_block(
+        p_part, demodulate(rx2, "QPSK", var, "exact"), res1.state
+    )
+    assert np.asarray(res2.tb_ok).all()
+    np.testing.assert_array_equal(np.asarray(res2.a_hat), np.asarray(a))
+
+
+def test_simulate_batch_counters():
+    p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
+    cfg = ChainConfig(params=p, modulation="QPSK", iterations=15)
+    sim = jax.jit(partial(simulate_batch, cfg, batch=32))
+    hi = jax.tree.map(np.asarray, sim(jax.random.PRNGKey(0), 12.0))
+    assert hi.blocks == 32 and hi.block_errors == 0 and hi.bit_errors == 0
+    lo = jax.tree.map(np.asarray, sim(jax.random.PRNGKey(0), -12.0))
+    assert lo.block_errors == 32
+    assert lo.bit_errors > 0
+
+
+def test_simulate_batch_reproducible():
+    p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
+    cfg = ChainConfig(params=p, modulation="QPSK", iterations=15)
+    sim = jax.jit(partial(simulate_batch, cfg, batch=16))
+    r1 = jax.tree.map(np.asarray, sim(jax.random.PRNGKey(5), 1.0))
+    r2 = jax.tree.map(np.asarray, sim(jax.random.PRNGKey(5), 1.0))
+    assert r1.block_errors == r2.block_errors
+    np.testing.assert_array_equal(r1.tb_ok, r2.tb_ok)

@@ -1,0 +1,86 @@
+"""Multi-device sharding: psum-aggregated Monte-Carlo on an 8-device CPU mesh.
+
+Exercises the same shard_map/pjit path the driver's dryrun_multichip uses.
+Key invariant (SURVEY.md section 4d): the mesh-aggregated counters for a
+given total seed set must be deterministic and independent of how work is
+split across devices.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from ldpc_3gpp_tpu.models.chain import ChainConfig
+from ldpc_3gpp_tpu.parallel.montecarlo import MonteCarlo, default_mesh
+from ldpc_3gpp_tpu.spec.params import LDPCParams
+
+
+def _cfg():
+    p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
+    return ChainConfig(params=p, modulation="QPSK", iterations=10)
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8, "conftest must force 8 CPU devices"
+
+
+def test_sharded_montecarlo_runs():
+    mc = MonteCarlo(_cfg(), batch_per_device=8)
+    assert mc.blocks_per_run == 64
+    c = mc.run(jax.random.PRNGKey(0), 6.0)
+    assert c["blocks"] == 64
+    assert c["block_errors"] == 0  # 6 dB is far above the waterfall
+    c2 = mc.run(jax.random.PRNGKey(0), -12.0)
+    assert c2["block_errors"] == 64
+
+
+def test_counters_deterministic():
+    mc = MonteCarlo(_cfg(), batch_per_device=8)
+    a = mc.run(jax.random.PRNGKey(3), 0.5)
+    b = mc.run(jax.random.PRNGKey(3), 0.5)
+    assert a == b
+
+
+def test_psum_matches_manual_aggregation():
+    """Mesh counters == sum of per-shard simulate_batch runs on one device.
+
+    device_step folds the device index into the key, so shard i's work is
+    exactly ``simulate_batch(cfg, fold_in(key, i), ...)`` — verifying the
+    psum aggregation end to end.
+    """
+    from ldpc_3gpp_tpu.models.chain import simulate_batch
+
+    cfg = _cfg()
+    mesh2 = Mesh(np.array(jax.devices()[:2]), ("dp",))
+    mc2 = MonteCarlo(cfg, batch_per_device=16, mesh=mesh2)
+    key = jax.random.PRNGKey(1)
+    total = mc2.run(key, 1.0)
+
+    sim = jax.jit(partial(simulate_batch, cfg, batch=16))
+    manual = {"blocks": 0, "block_errors": 0, "bit_errors": 0, "iterations": 0}
+    for i in range(2):
+        r = sim(jax.random.fold_in(key, i), jnp.asarray(1.0, jnp.float32))
+        manual["blocks"] += int(r.blocks)
+        manual["block_errors"] += int(r.block_errors)
+        manual["bit_errors"] += int(r.bit_errors)
+        manual["iterations"] += int(r.iterations)
+
+    assert manual == total
+
+
+def test_per_device_rng_differs():
+    """Devices must not simulate identical noise (fold_in by axis_index)."""
+    p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
+    cfg = ChainConfig(params=p, modulation="QPSK", iterations=4)
+    mc = MonteCarlo(cfg, batch_per_device=64)
+    # near the waterfall the error count would be a multiple of 8 if all
+    # devices were identical; check across several keys
+    multiples = 0
+    for k in range(4):
+        c = mc.run(jax.random.PRNGKey(100 + k), 1.2)
+        if c["block_errors"] % 8 == 0:
+            multiples += 1
+    assert multiples < 4, "per-device counters look identical across the mesh"
