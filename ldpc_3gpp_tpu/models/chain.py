@@ -41,6 +41,7 @@ class ChainConfig:
     beta: float = 0.15
     demod_method: str = "exact"
     early_termination: bool = True
+    backend: str = "fast"  # BP decoder implementation (models.decoder.DECODE_BACKENDS)
 
     def __post_init__(self):
         assert Q_M[self.modulation] == self.params.Q_m, (
@@ -92,6 +93,7 @@ def simulate_batch(
             alpha=cfg.alpha,
             beta=cfg.beta,
             early_termination=cfg.early_termination,
+            backend=cfg.backend,
         )
         state = res.state
         newly = res.tb_ok & ~success

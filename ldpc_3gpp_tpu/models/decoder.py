@@ -21,9 +21,31 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.crc import crc_check
-from ..ops.decoder import decode as bp_decode
+from ..ops.decoder import decode as bp_decode_ref
+from ..ops.decoder_fast import decode as bp_decode_fast
+from ..ops import decoder_pallas
 from ..ops.rate_match import accumulate_llrs, deinterleave
 from ..spec.params import LDPCParams
+
+
+def _bp_decode_auto(params, llr, *, algorithm, **kw):
+    """Pallas layered kernel when it applies, flooding XLA path otherwise."""
+    if algorithm == "min-sum" and decoder_pallas.supports(params):
+        return decoder_pallas.decode(params, llr, algorithm=algorithm, **kw)
+    return bp_decode_fast(params, llr, algorithm=algorithm, **kw)
+
+
+# BP decoder implementations:
+#   'auto'      — pallas layered min-sum when (algorithm, Z) allow, else 'fast'
+#   'pallas'    — layered normalized min-sum TPU kernel (Z % 128 == 0)
+#   'fast'      — flooding, static-roll XLA path (bit-exact vs 'reference')
+#   'reference' — flooding, segment-op oracle (ops/decoder.py)
+DECODE_BACKENDS = {
+    "auto": _bp_decode_auto,
+    "pallas": decoder_pallas.decode,
+    "fast": bp_decode_fast,
+    "reference": bp_decode_ref,
+}
 
 # Large finite stand-in for the reference's +inf filler LLRs
 # (NRLDPCDecoder.m:264).  Finite so that inf - inf NaNs can never appear in
@@ -89,6 +111,7 @@ def decode_transport_block(
     alpha: float = 0.8125,
     beta: float = 0.15,
     early_termination: bool = True,
+    backend: str = "fast",
 ) -> TBDecodeResult:
     """Full decode chain for one (re)transmission of (..., G) channel LLRs.
 
@@ -116,7 +139,7 @@ def decode_transport_block(
     if Kp < K:
         cw_llr = cw_llr.at[..., Kp:K].set(FILLER_LLR)
 
-    res = bp_decode(
+    res = DECODE_BACKENDS[backend](
         params,
         cw_llr,
         iterations=iterations,

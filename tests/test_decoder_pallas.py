@@ -1,0 +1,83 @@
+"""Pallas layered min-sum kernel vs the flooding oracle (interpret mode)."""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpc_3gpp_tpu.ops.channel import awgn, esn0_to_variance
+from ldpc_3gpp_tpu.ops.decoder_fast import decode as decode_fast
+from ldpc_3gpp_tpu.ops.decoder_pallas import decode as decode_pallas, supports
+from ldpc_3gpp_tpu.ops.encoder import encode
+from ldpc_3gpp_tpu.ops.modulation import demodulate, modulate
+from ldpc_3gpp_tpu.spec.params import LDPCParams
+
+RNG = np.random.default_rng(17)
+
+# BG1 Z=128 (A=2800) is the smallest lane-aligned config — cheap to interpret.
+P128 = LDPCParams(BG=1, A=2800, G=8400, Q_m=2)
+
+
+def _noisy_llrs(p, batch, esn0, key=1):
+    c = RNG.integers(0, 2, size=(batch, p.K)).astype(np.uint8)
+    c[:, p.K_prime :] = 0
+    cw = encode(p, jnp.asarray(c))
+    tx = modulate(cw, "QPSK")
+    var = esn0_to_variance(esn0)
+    rx = awgn(jax.random.PRNGKey(key), tx, var)
+    return np.asarray(cw), demodulate(rx, "QPSK", var, "exact")
+
+
+def test_supports():
+    assert supports(P128)
+    assert supports(LDPCParams(BG=1, A=8424, G=25272, Q_m=2))  # Z=384
+    assert not supports(LDPCParams(BG=2, A=100, G=300, Q_m=2))  # Z=20
+
+
+def test_decodes_noisy_codewords():
+    cw, llr = _noisy_llrs(P128, 16, 2.0)
+    r = jax.jit(partial(decode_pallas, P128, iterations=15, interpret=True))(llr)
+    assert np.asarray(r.parity_ok).all()
+    np.testing.assert_array_equal(np.asarray(r.bits), cw)
+
+
+def test_converges_no_slower_than_flooding():
+    """Layered schedule should need <= the flooding iteration count."""
+    cw, llr = _noisy_llrs(P128, 8, 2.5, key=3)
+    rp = jax.jit(partial(decode_pallas, P128, iterations=20, interpret=True))(llr)
+    rf = jax.jit(
+        partial(decode_fast, P128, iterations=20, algorithm="min-sum")
+    )(llr)
+    assert np.asarray(rp.parity_ok).all() and np.asarray(rf.parity_ok).all()
+    assert np.asarray(rp.iterations).max() <= np.asarray(rf.iterations).max()
+
+
+def test_failure_reported_at_low_snr():
+    cw, llr = _noisy_llrs(P128, 8, -10.0, key=4)
+    r = jax.jit(partial(decode_pallas, P128, iterations=5, interpret=True))(llr)
+    assert not np.asarray(r.parity_ok).any()
+
+
+def test_batch_padding():
+    """Batch not a multiple of the tile is padded and unpadded transparently."""
+    cw, llr = _noisy_llrs(P128, 5, 3.0, key=5)
+    r = jax.jit(partial(decode_pallas, P128, iterations=10, interpret=True))(llr)
+    assert np.asarray(r.bits).shape == (5, P128.num_cols * P128.Z_c)
+    np.testing.assert_array_equal(np.asarray(r.bits), cw)
+
+
+def test_rejects_unsupported_z():
+    p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
+    with pytest.raises(ValueError):
+        decode_pallas(p, jnp.zeros((4, p.num_cols * p.Z_c)))
+
+
+def test_auto_backend_dispatch():
+    from ldpc_3gpp_tpu.models.decoder import DECODE_BACKENDS
+
+    # unsupported Z must silently use the flooding path
+    p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
+    llr = jnp.asarray(RNG.normal(size=(4, p.num_cols * p.Z_c)).astype(np.float32))
+    r = DECODE_BACKENDS["auto"](p, llr, algorithm="min-sum", iterations=3)
+    assert r.bits.shape == (4, p.num_cols * p.Z_c)
