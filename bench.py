@@ -51,29 +51,40 @@ def main():
     )
 
     batch = 256
+    steps = 16  # sim steps per dispatch: amortises host->device launch latency
     esn0 = 1.0  # near the BG1 R=1/3 waterfall: realistic iteration mix
-    sim = jax.jit(partial(simulate_batch, cfg, batch=batch))
+
+    def sim_many(key, esn0_db):
+        def body(i, acc):
+            r = simulate_batch(cfg, jax.random.fold_in(key, i), esn0_db, batch)
+            return (acc[0] + r.blocks, acc[1] + r.block_errors)
+
+        zero = jnp.zeros((), jnp.int32)
+        return jax.lax.fori_loop(0, steps, body, (zero, zero))
+
+    sim = jax.jit(sim_many)
 
     # compile + warmup (int() forces a host round trip — on the remote-TPU
     # tunnel block_until_ready alone does not guarantee execution finished)
     key = jax.random.PRNGKey(0)
     r = sim(key, jnp.asarray(esn0, jnp.float32))
-    _ = int(r.block_errors)
+    _ = int(r[1])
 
     # The tunnel to the shared TPU pool has highly variable queueing latency;
     # the min over reps estimates true hardware throughput.
-    reps = 20
+    reps = 10
     times = []
     errs = 0
     for i in range(reps):
         t0 = time.perf_counter()
         r = sim(jax.random.PRNGKey(i + 1), jnp.asarray(esn0, jnp.float32))
-        errs += int(r.block_errors)  # host fetch = hard sync point
+        errs += int(r[1])  # host fetch = hard sync point
         times.append(time.perf_counter() - t0)
 
-    blocks = reps * batch
+    blocks_per_call = batch * steps
+    blocks = reps * blocks_per_call
     best = min(times)
-    blocks_per_sec = batch / best
+    blocks_per_sec = blocks_per_call / best
     info_mbps = blocks_per_sec * A / 1e6
     print(
         json.dumps(

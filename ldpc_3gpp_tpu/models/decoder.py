@@ -30,7 +30,10 @@ from ..spec.params import LDPCParams
 
 def _bp_decode_auto(params, llr, *, algorithm, **kw):
     """Pallas layered kernel when it applies, flooding XLA path otherwise."""
-    if algorithm == "min-sum" and decoder_pallas.supports(params):
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and algorithm == "min-sum" and decoder_pallas.supports(params):
         return decoder_pallas.decode(params, llr, algorithm=algorithm, **kw)
     return bp_decode_fast(params, llr, algorithm=algorithm, **kw)
 

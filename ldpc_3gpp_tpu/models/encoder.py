@@ -18,9 +18,17 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.crc import crc_attach
-from ..ops.encoder import encode as ldpc_encode
+from ..ops.encoder import encode as ldpc_encode_rolls
+from ..ops.encoder import encode_mxu as ldpc_encode_mxu
 from ..ops.rate_match import interleave, select_bits
 from ..spec.params import LDPCParams
+
+# LDPC core implementations (bit-identical; see ops/encoder.py):
+#   'rolls' — structured XOR-of-rolled-blocks, no extra memory (default)
+#   'mxu'   — dense GF(2) generator matmul; embeds a ~K x P generator as an
+#             executable constant, which the axon remote-compile tunnel
+#             rejects for large Z (HTTP 413) — use on directly-attached TPUs
+ENCODE_BACKENDS = {"mxu": ldpc_encode_mxu, "rolls": ldpc_encode_rolls}
 
 
 def segment(params: LDPCParams, b: jax.Array) -> jax.Array:
@@ -60,7 +68,9 @@ def rate_match(params: LDPCParams, d: jax.Array) -> jax.Array:
     return g
 
 
-def encode_transport_block(params: LDPCParams, a: jax.Array) -> jax.Array:
+def encode_transport_block(
+    params: LDPCParams, a: jax.Array, backend: str = "rolls"
+) -> jax.Array:
     """Full encode chain: (..., A) info bits -> (..., G) rate-matched bits.
 
     Equivalent to ``g = step(NRLDPCEncoder(...), a)`` (NRLDPCEncoder.m:60-67).
@@ -68,7 +78,7 @@ def encode_transport_block(params: LDPCParams, a: jax.Array) -> jax.Array:
     assert a.shape[-1] == params.A
     b = crc_attach(a, params.tb_crc)
     c = segment(params, b)
-    cw = ldpc_encode(params, c)
+    cw = ENCODE_BACKENDS[backend](params, c)
     # Puncture the first 2*Z_c systematic bits (NRLDPCEncoder.m:149-156).
     d = cw[..., 2 * params.Z_c :]
     return rate_match(params, d)

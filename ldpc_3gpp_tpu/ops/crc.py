@@ -21,8 +21,11 @@ import numpy as np
 
 from ..spec.tables import CRC_LENGTHS, crc_poly_bits
 
-# f32 matmul with HIGHEST precision keeps 0/1 sums exact up to 2^24 > 8448+24.
-_PREC = jax.lax.Precision.HIGHEST
+# bf16 inputs on the MXU are exact here: 0/1 operands are bf16-representable,
+# products are 0/1, and the MXU accumulates in f32 (exact up to 2^24 > 8448+24).
+# (Precision.HIGHEST with f32 inputs forces a 6-pass decomposition that is
+# ~1000x slower for these skinny shapes.)
+_IN_DTYPE = jnp.bfloat16
 
 
 @functools.lru_cache(maxsize=None)
@@ -78,8 +81,8 @@ def crc_attach(a: jax.Array, crc: str) -> jax.Array:
     if L == 0:
         return a
     A = a.shape[-1]
-    T = _gen_matrix(crc, A)
-    acc = jnp.matmul(a.astype(jnp.float32), T, precision=_PREC)
+    T = jnp.asarray(_gen_matrix(crc, A), _IN_DTYPE)
+    acc = jnp.matmul(a.astype(_IN_DTYPE), T, preferred_element_type=jnp.float32)
     p = jnp.mod(acc, 2.0).astype(a.dtype)
     return jnp.concatenate([a, p], axis=-1)
 
@@ -94,8 +97,8 @@ def crc_check(b: jax.Array, crc: str) -> jax.Array:
     if L == 0:
         return jnp.zeros(b.shape[:-1], dtype=bool)
     B = b.shape[-1]
-    D = _det_matrix(crc, B)
-    acc = jnp.matmul(b.astype(jnp.float32), D, precision=_PREC)
+    D = jnp.asarray(_det_matrix(crc, B), _IN_DTYPE)
+    acc = jnp.matmul(b.astype(_IN_DTYPE), D, preferred_element_type=jnp.float32)
     rem = jnp.mod(acc, 2.0)
     return jnp.any(rem > 0.5, axis=-1)
 

@@ -160,6 +160,72 @@ def encode(params: LDPCParams, c: jax.Array) -> jax.Array:
     return all_blocks.reshape(u8.shape[:-1] + (params.num_cols * Z,))
 
 
+@functools.lru_cache(maxsize=2)
+def _parity_generator(params: LDPCParams) -> np.ndarray:
+    """Dense GF(2) parity generator: parity = (c @ Gp) mod 2, Gp (K, P).
+
+    Built once per config by running the structured roll-plan on the K basis
+    vectors in numpy.  Stored as float32 numpy; converted/cached as a device
+    array by the caller.
+    """
+    Z, kb = params.Z_c, params.num_sys_cols
+    K = params.K
+    P = (params.num_cols - kb) * Z
+    core_rows, sum_shift, core_solve, ext_rows = _encode_plan(params)
+
+    # identity batch: basis[j] has bit j set
+    sys_blocks = np.eye(K, dtype=np.uint8).reshape(K, kb, Z)
+
+    def rot(v, s):
+        return v if s % Z == 0 else np.roll(v, -(s % Z), axis=-1)
+
+    def xor_rotated(blocks, terms):
+        acc = np.zeros((K, Z), np.uint8)
+        for c, s in terms:
+            acc ^= rot(blocks[:, c, :], s)
+        return acc
+
+    lam = [xor_rotated(sys_blocks, core_rows[i]) for i in range(4)]
+    S = lam[0] ^ lam[1] ^ lam[2] ^ lam[3]
+    parity = {kb: np.roll(S, sum_shift, axis=-1) if sum_shift else S}
+    for row, tc, ts, known in core_solve:
+        rhs = lam[row].copy()
+        for c_k, s_k in known:
+            rhs ^= rot(parity[c_k], s_k)
+        parity[tc] = np.roll(rhs, ts, axis=-1) if ts else rhs
+
+    blocks = np.concatenate(
+        [sys_blocks] + [parity[kb + i][:, None, :] for i in range(4)], axis=1
+    )
+    ext = [xor_rotated(blocks, terms) for terms in ext_rows]
+    all_parity = np.concatenate(
+        [parity[kb + i] for i in range(4)] + ext, axis=-1
+    )
+    assert all_parity.shape == (K, P)
+    return all_parity.astype(np.float32)
+
+
+def encode_mxu(params: LDPCParams, c: jax.Array) -> jax.Array:
+    """MXU path: parity via one dense GF(2) matmul on the systolic array.
+
+    Bit-identical to ``encode`` (H c = 0 has a unique parity completion) but
+    maps to a single (batch, K) x (K, P) bf16 matmul instead of ~700 rolled
+    XORs — the ops are exact because 0/1 operands are bf16-representable and
+    the MXU accumulates in f32 (sums <= K = 8448 < 2^24).
+
+    Trades HBM for speed: Gp is K x P bf16 (~300 MB for BG1 Z=384), cached
+    per config.
+    """
+    K = params.K
+    assert c.shape[-1] == K
+    Gp = jnp.asarray(_parity_generator(params), jnp.bfloat16)
+    acc = jnp.matmul(
+        c.astype(jnp.bfloat16), Gp, preferred_element_type=jnp.float32
+    )
+    par = jnp.mod(acc, 2.0).astype(jnp.uint8)
+    return jnp.concatenate([c.astype(jnp.uint8), par], axis=-1)
+
+
 def syndrome(params: LDPCParams, cw: jax.Array) -> jax.Array:
     """H @ cw over GF(2): (..., num_cols*Z) -> (..., num_rows*Z).
 

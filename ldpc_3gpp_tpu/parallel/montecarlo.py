@@ -43,24 +43,37 @@ class MonteCarlo:
     cfg: ChainConfig
     batch_per_device: int = 128
     mesh: Optional[Mesh] = None
+    steps_per_call: int = 1  # fori_loop'd sim steps per dispatch (amortises
+    # host->device launch latency; each step draws fresh blocks/noise)
 
     def __post_init__(self):
         if self.mesh is None:
             self.mesh = default_mesh()
         mesh, cfg, bpd = self.mesh, self.cfg, self.batch_per_device
+        steps = self.steps_per_call
 
         def device_step(key: jax.Array, esn0_db: jax.Array):
             # Per-device RNG: fold the device's mesh position into the key —
             # the TPU-native version of "different seeds per instance"
             # (plot_BLER_vs_SNR.m:23-27).
             key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
-            r = simulate_batch(cfg, key, esn0_db, bpd)
-            return (
-                jax.lax.psum(r.blocks, "dp"),
-                jax.lax.psum(r.block_errors, "dp"),
-                jax.lax.psum(r.bit_errors, "dp"),
-                jax.lax.psum(r.iterations, "dp"),
-            )
+
+            def body(i, acc):
+                r = simulate_batch(
+                    cfg, jax.random.fold_in(key, i), esn0_db, bpd
+                )
+                return (
+                    acc[0] + r.blocks,
+                    acc[1] + r.block_errors,
+                    acc[2] + r.bit_errors,
+                    acc[3] + r.iterations,
+                )
+
+            # varying zero (derived from the folded key) so the fori_loop
+            # carry has consistent mesh-varying axes under shard_map
+            zero = (jax.random.key_data(key).ravel()[0] * 0).astype(jnp.int32)
+            totals = jax.lax.fori_loop(0, steps, body, (zero, zero, zero, zero))
+            return tuple(jax.lax.psum(t, "dp") for t in totals)
 
         self._step = jax.jit(
             shard_map(
@@ -68,12 +81,16 @@ class MonteCarlo:
                 mesh=mesh,
                 in_specs=(P(), P()),
                 out_specs=(P(), P(), P(), P()),
+                # pallas_call outputs carry no varying-mesh-axes metadata;
+                # disable the vma check so the kernel backend works under
+                # shard_map (correctness is covered by the psum tests)
+                check_vma=False,
             )
         )
 
     @property
     def blocks_per_run(self) -> int:
-        return self.batch_per_device * self.mesh.size
+        return self.batch_per_device * self.mesh.size * self.steps_per_call
 
     def run(self, key: jax.Array, esn0_db: float) -> Dict[str, int]:
         blocks, errs, bit_errs, iters = self._step(

@@ -110,12 +110,19 @@ def bler_vs_snr(
     seed: int = 0,
     algorithm: str = "sum-product",
     batch_per_device: int = 256,
+    steps_per_call: int = 1,
     max_blocks_per_point: int = 1_000_000,
     results_dir: str = "results",
+    resume: bool = False,
     verbose: bool = True,
     **chain_kw,
 ) -> Dict[tuple, List[SweepPoint]]:
-    """BLER-vs-Es/N0 waterfalls; defaults match plot_BLER_vs_SNR.m:30-42."""
+    """BLER-vs-Es/N0 waterfalls; defaults match plot_BLER_vs_SNR.m:30-42.
+
+    ``resume=True`` skips Es/N0 points already present in the results file
+    (the reference's append-per-point crash recovery, plot_BLER_vs_SNR.m:165,
+    made explicit).
+    """
     os.makedirs(results_dir, exist_ok=True)
     out: Dict[tuple, List[SweepPoint]] = {}
     for bg_i in bg:
@@ -130,17 +137,35 @@ def bler_vs_snr(
                     if verbose:
                         print(f"skip BG{bg_i} R={r_i} A={a_i}: {e}")
                     continue
-                mc = MonteCarlo(cfg, batch_per_device=batch_per_device)
+                mc = MonteCarlo(
+                    cfg,
+                    batch_per_device=batch_per_device,
+                    steps_per_call=steps_per_call,
+                )
                 fname = os.path.join(
                     results_dir,
                     f"BLER_vs_SNR_{a_i}_{r_i:g}_{bg_i}_{modulation}_"
                     f"{iterations}_{target_block_errors}_{esn0_start:g}_{seed}.txt",
                 )
+                done_points = {}
+                if resume and os.path.exists(fname):
+                    with open(fname) as fid:
+                        for line in fid:
+                            e_s, b_s = line.split()
+                            done_points[round(float(e_s), 6)] = float(b_s)
                 key = jax.random.PRNGKey(seed)
                 points: List[SweepPoint] = []
                 esn0, bler, found_start = esn0_start, 1.0, False
-                with open(fname, "w") as fid:
+                with open(fname, "a" if resume else "w") as fid:
                     while bler > target_bler:
+                        if round(esn0, 6) in done_points:
+                            bler = done_points[round(esn0, 6)]
+                            found_start = found_start or bler < 1
+                            if verbose:
+                                print(f"resume: skipping {esn0:+.2f} dB "
+                                      f"(BLER={bler:.3e})")
+                            esn0 += esn0_delta
+                            continue
                         pt, found_start, key = _simulate_point(
                             mc, key, esn0, target_block_errors,
                             found_start, max_blocks_per_point,
@@ -175,6 +200,7 @@ def snr_vs_a(
     seed: int = 0,
     algorithm: str = "sum-product",
     batch_per_device: int = 256,
+    steps_per_call: int = 1,
     max_blocks_per_point: int = 1_000_000,
     results_dir: str = "results",
     verbose: bool = True,
@@ -201,7 +227,11 @@ def snr_vs_a(
                     if verbose:
                         print(f"skip A={a_i}: {e}")
                     continue
-                mc = MonteCarlo(cfg, batch_per_device=batch_per_device)
+                mc = MonteCarlo(
+                    cfg,
+                    batch_per_device=batch_per_device,
+                    steps_per_call=steps_per_call,
+                )
                 key = jax.random.PRNGKey(seed)
                 esn0 = esn0_start - esn0_delta
                 bler, prev_bler, prev_esn0 = 1.0, float("nan"), float("nan")

@@ -123,6 +123,22 @@ def set_index(Z: int) -> int:
     raise UnsupportedParameters("Invalid lifting size.")
 
 
+def lifted_pcm_dense(bg: int, i_ls: int, Z: int) -> np.ndarray:
+    """Materialise the full lifted PCM as a dense 0/1 uint8 matrix.
+
+    Equivalent to the reference's get_pcm.m (circshift(speye(Z), shift) per
+    base edge) — provided for inspection/interop only; no kernel ever builds
+    this (they use the edge list + rolls).
+    """
+    rows, cols, shifts = base_graph(bg, i_ls)
+    nr, nc, _ = BG_DIMS[bg]
+    H = np.zeros((nr * Z, nc * Z), dtype=np.uint8)
+    z = np.arange(Z)
+    for r, c, s in zip(rows, cols, shifts):
+        H[r * Z + z, c * Z + (z + s % Z) % Z] ^= 1
+    return H
+
+
 class UnsupportedParameters(ValueError):
     """Raised for parameter combinations outside TS38.212.
 

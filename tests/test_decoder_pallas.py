@@ -32,7 +32,8 @@ def _noisy_llrs(p, batch, esn0, key=1):
 def test_supports():
     assert supports(P128)
     assert supports(LDPCParams(BG=1, A=8424, G=25272, Q_m=2))  # Z=384
-    assert not supports(LDPCParams(BG=2, A=100, G=300, Q_m=2))  # Z=20
+    assert supports(LDPCParams(BG=2, A=100, G=300, Q_m=2))  # Z=20 (padded)
+    assert not supports(LDPCParams(BG=2, A=20, G=60, Q_m=2))  # Z=6
 
 
 def test_decodes_noisy_codewords():
@@ -67,8 +68,19 @@ def test_batch_padding():
     np.testing.assert_array_equal(np.asarray(r.bits), cw)
 
 
-def test_rejects_unsupported_z():
-    p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
+def test_padded_z_lane_wraparound():
+    """Z not a lane multiple uses the double-roll wraparound path."""
+    p = LDPCParams(BG=2, A=400, G=1200, Q_m=2)  # Z=52, W=128
+    assert p.Z_c % 128 != 0
+    cw, llr = _noisy_llrs(p, 8, 2.5, key=9)
+    r = jax.jit(partial(decode_pallas, p, iterations=15, interpret=True))(llr)
+    assert np.asarray(r.parity_ok).all()
+    np.testing.assert_array_equal(np.asarray(r.bits), cw)
+
+
+def test_rejects_tiny_z():
+    p = LDPCParams(BG=2, A=20, G=60, Q_m=2)  # Z < 8
+    assert p.Z_c < 8
     with pytest.raises(ValueError):
         decode_pallas(p, jnp.zeros((4, p.num_cols * p.Z_c)))
 
@@ -76,7 +88,7 @@ def test_rejects_unsupported_z():
 def test_auto_backend_dispatch():
     from ldpc_3gpp_tpu.models.decoder import DECODE_BACKENDS
 
-    # unsupported Z must silently use the flooding path
+    # on CPU the auto backend must use the flooding path (pallas is TPU-only)
     p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
     llr = jnp.asarray(RNG.normal(size=(4, p.num_cols * p.Z_c)).astype(np.float32))
     r = DECODE_BACKENDS["auto"](p, llr, algorithm="min-sum", iterations=3)

@@ -60,7 +60,8 @@ def test_llr_sign_convention_and_magnitude(mod, method):
     qm = Q_M[mod]
     bits = RNG.integers(0, 2, size=(2, 100 * qm)).astype(np.int8)
     tx = modulate(jnp.asarray(bits), mod)
-    var = esn0_to_variance(25.0)
+    # high enough that even 256QAM has (essentially) no symbol errors
+    var = esn0_to_variance(38.0)
     rx = awgn(jax.random.PRNGKey(0), tx, var)
     llr = np.asarray(demodulate(rx, mod, var, method))
     np.testing.assert_array_equal((llr < 0).astype(np.int8), bits)

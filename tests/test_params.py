@@ -25,7 +25,7 @@ def test_lifting_size_rule():
     # Z_c is the minimum Z over all sets with K_b * Z >= K'
     # (get_3gpp_lifting_size.m:7-12).
     assert lifting_size(22, 8448) == 384
-    assert lifting_size(22, 22) == 2  # wait: 22*2=44 >= 22 -> Z=2
+    assert lifting_size(22, 22) == 2  # 22*2 = 44 >= 22 -> smallest Z is 2
     assert lifting_size(10, 100) == 10
     with pytest.raises(UnsupportedParameters):
         lifting_size(22, 22 * 384 + 1)
@@ -43,7 +43,8 @@ def test_base_graph_shapes():
 def test_tb_crc_selection():
     # A > 3824 -> CRC24A else CRC16 (NRLDPC.m:297-303).
     assert LDPCParams(BG=2, A=3824, G=11472, Q_m=2).tb_crc == "CRC16"
-    assert LDPCParams(BG=2, A=3825, G=11476, Q_m=2).tb_crc == "CRC24A"
+    # A=3825 has odd B' with C=2 (unsupported, like the reference); use 3826
+    assert LDPCParams(BG=2, A=3826, G=11478, Q_m=2).tb_crc == "CRC24A"
 
 
 def test_segmentation_single_block():
@@ -102,7 +103,7 @@ def test_lbrm():
 
 
 def test_cbgti():
-    p = LDPCParams(BG=1, A=20000, G=60000, Q_m=2, CBGTI=(0, 2))
+    p = LDPCParams(BG=1, A=20004, G=60012, Q_m=2, CBGTI=(0, 2))
     assert p.C >= 3
     assert p.CBGTI_flags[0] == 0 and p.CBGTI_flags[2] == 0
     assert p.E_r[0] == 0 and p.E_r[2] == 0

@@ -62,7 +62,9 @@ def test_psum_matches_manual_aggregation():
     sim = jax.jit(partial(simulate_batch, cfg, batch=16))
     manual = {"blocks": 0, "block_errors": 0, "bit_errors": 0, "iterations": 0}
     for i in range(2):
-        r = sim(jax.random.fold_in(key, i), jnp.asarray(1.0, jnp.float32))
+        # device_step folds (device index, then step index 0)
+        k = jax.random.fold_in(jax.random.fold_in(key, i), 0)
+        r = sim(k, jnp.asarray(1.0, jnp.float32))
         manual["blocks"] += int(r.blocks)
         manual["block_errors"] += int(r.block_errors)
         manual["bit_errors"] += int(r.bit_errors)
