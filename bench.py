@@ -47,7 +47,8 @@ def main():
         iterations=12,
         algorithm="min-sum",
         early_termination=True,
-        backend="auto",  # pallas layered min-sum kernel for Z=384
+        backend="auto",  # pallas kernel for Z=384
+        schedule="layered",  # BASELINE config #2: layered normalized min-sum
     )
 
     batch = 256

@@ -42,6 +42,7 @@ class ChainConfig:
     demod_method: str = "exact"
     early_termination: bool = True
     backend: str = "fast"  # BP decoder implementation (models.decoder.DECODE_BACKENDS)
+    schedule: str = "flooding"  # BP schedule ('layered' needs backend auto/pallas)
 
     def __post_init__(self):
         assert Q_M[self.modulation] == self.params.Q_m, (
@@ -94,6 +95,7 @@ def simulate_batch(
             beta=cfg.beta,
             early_termination=cfg.early_termination,
             backend=cfg.backend,
+            schedule=cfg.schedule,
         )
         state = res.state
         newly = res.tb_ok & ~success

@@ -28,26 +28,42 @@ from ..ops.rate_match import accumulate_llrs, deinterleave
 from ..spec.params import LDPCParams
 
 
-def _bp_decode_auto(params, llr, *, algorithm, **kw):
-    """Pallas layered kernel when it applies, flooding XLA path otherwise."""
+def _drop_schedule(fn):
+    """Adapter for flooding-only XLA backends: accept and check `schedule`."""
+
+    def wrapped(params, llr, *, schedule="flooding", **kw):
+        if schedule != "flooding":
+            raise ValueError(f"backend implements flooding only, got {schedule}")
+        return fn(params, llr, **kw)
+
+    return wrapped
+
+
+def _bp_decode_auto(params, llr, *, algorithm, schedule="layered", **kw):
+    """Pallas kernel when it applies, flooding XLA path otherwise."""
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and algorithm == "min-sum" and decoder_pallas.supports(params):
-        return decoder_pallas.decode(params, llr, algorithm=algorithm, **kw)
+    if on_tpu and algorithm in decoder_pallas.ALGORITHMS and decoder_pallas.supports(params):
+        return decoder_pallas.decode(
+            params, llr, algorithm=algorithm, schedule=schedule, **kw
+        )
+    if schedule != "flooding" and not on_tpu:
+        # CPU fallback implements flooding only; layered is a TPU-kernel luxury
+        schedule = "flooding"
     return bp_decode_fast(params, llr, algorithm=algorithm, **kw)
 
 
 # BP decoder implementations:
-#   'auto'      — pallas layered min-sum when (algorithm, Z) allow, else 'fast'
-#   'pallas'    — layered normalized min-sum TPU kernel (Z % 128 == 0)
+#   'auto'      — pallas kernel (layered or flooding) on TPU, else 'fast'
+#   'pallas'    — VMEM-resident TPU kernel: SP/NMS/OMS x layered/flooding
 #   'fast'      — flooding, static-roll XLA path (bit-exact vs 'reference')
 #   'reference' — flooding, segment-op oracle (ops/decoder.py)
 DECODE_BACKENDS = {
     "auto": _bp_decode_auto,
     "pallas": decoder_pallas.decode,
-    "fast": bp_decode_fast,
-    "reference": bp_decode_ref,
+    "fast": _drop_schedule(bp_decode_fast),
+    "reference": _drop_schedule(bp_decode_ref),
 }
 
 # Large finite stand-in for the reference's +inf filler LLRs
@@ -115,6 +131,7 @@ def decode_transport_block(
     beta: float = 0.15,
     early_termination: bool = True,
     backend: str = "fast",
+    schedule: str = "flooding",
 ) -> TBDecodeResult:
     """Full decode chain for one (re)transmission of (..., G) channel LLRs.
 
@@ -150,6 +167,7 @@ def decode_transport_block(
         alpha=alpha,
         beta=beta,
         early_termination=early_termination,
+        schedule=schedule,
     )
     c_hat = res.bits  # (..., C, num_cols*Z)
 

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: layered normalized min-sum LDPC decoder.
+"""Pallas TPU kernel: layered / flooding BP LDPC decoder.
 
 The hot loop of the whole framework (SURVEY.md section 3.2: the BP iteration
 loop is ~99% of runtime).  Design:
@@ -6,22 +6,26 @@ loop is ~99% of runtime).  Design:
 - **Layout**: lifting dimension Z on lanes (padded to W = ceil(Z/128)*128),
   a small batch tile Bt on sublanes.  Each kernel instance decodes Bt
   codewords entirely in VMEM: posterior totals (num_cols, Bt, W) and
-  per-edge check messages (E, Bt, W), f32.  For BG1 Z=384, Bt=16 this is
-  ~1.7 MB + ~7.8 MB — the whole decoder state lives on-chip; HBM is touched
-  once on the way in and once on the way out.
+  per-edge check messages (E, Bt, W), f32 — the whole decoder state lives
+  on-chip; HBM is touched once on the way in and once on the way out.
 - **Rotations**: every circulant P^s is a static lane roll of a (Bt, W)
   tile (pltpu.roll), unrolled per base-graph edge at trace time.  When
-  Z == W a rotation is a single roll; otherwise it is two rolls + a lane
-  select (the mod-Z wraparound inside the padded width).  No gathers, no
+  Z == W a rotation is a single roll; otherwise two rolls + a lane select
+  implement the mod-Z wraparound inside the padded width.  No gathers, no
   scatters, no dynamic indexing anywhere.
-- **Schedule**: layered (row-by-row) normalized min-sum — totals are
-  updated in place after each check row, which roughly halves the
-  iterations needed vs the flooding schedule for the same BLER.
-- **Early termination**: the per-row parity of the *current* totals is
-  accumulated while the layer sweep runs (it needs no extra rotations,
-  lane-masked to the valid z < Z region); a sweep whose every row was
-  satisfied marks the codeword done, freezing its state.  The kernel's
-  while_loop exits when the whole tile is done.
+- **Schedules**:
+  - ``layered``  — totals updated in place after each check row; converges
+    in roughly half the iterations of flooding for the same BLER.
+  - ``flooding`` — all check rows read the same totals; identical
+    trajectory to ops.decoder_fast / MATLAB comm.LDPCDecoder, at kernel
+    speed (needs one extra accumulator buffer; runs with a smaller tile).
+- **Algorithms**: normalized min-sum (running m1/m2/argmin + sign scan),
+  offset min-sum, and sum-product (phi = -log tanh(x/2), clamped exactly
+  like the XLA reference so trajectories agree).
+- **Early termination**: per-row parity of the current totals accumulates
+  while the sweep runs (no extra rotations, lane-masked to z < Z); a sweep
+  whose every row is satisfied marks the codeword done and freezes its
+  state; the kernel's while_loop exits when the whole tile is done.
 
 Padding discipline: the caller pads each column block from Z to W lanes
 with a large positive LLR; rotated reads only ever consume lanes < Z, and
@@ -43,9 +47,15 @@ from ..spec.params import LDPCParams
 from .decoder import DecodeResult
 from .decoder_fast import _row_plan
 
-DEFAULT_BATCH_TILE = 16
+LAYERED_BATCH_TILE = 16
+FLOODING_BATCH_TILE = 8  # flooding carries an extra (nc, Bt, W) accumulator
 _PAD_LLR = 1e9  # pad lanes decode to bit 0 and stay finite
 _MIN_Z = 8  # below this the XLA flooding path is at least as good
+_PHI_MIN = 1e-9  # match ops.decoder._phi clamping exactly
+_PHI_MAX = 38.0
+
+ALGORITHMS = ("min-sum", "offset-min-sum", "sum-product")
+SCHEDULES = ("layered", "flooding")
 
 
 def supports(params: LDPCParams) -> bool:
@@ -54,12 +64,6 @@ def supports(params: LDPCParams) -> bool:
 
 def _pad_width(Z: int) -> int:
     return -(-Z // 128) * 128
-
-
-def _lane_mask(Bt: int, W: int, Z: int):
-    """(Bt, W) float mask: 1.0 on valid lanes z < Z."""
-    z = jax.lax.broadcasted_iota(jnp.int32, (Bt, W), 1)
-    return (z < Z).astype(jnp.float32)
 
 
 def _roll_fwd(x, s, Z, W):
@@ -87,30 +91,87 @@ def _roll_bwd(x, s, Z, W):
     # u[z] = x[z-s]   valid for z >= s
     # v[z] = x[z-s+Z] valid for z < s
     u = pltpu.roll(x, s, 1)
-    v = pltpu.roll(x, s - Z + W, 1) if s - Z + W >= 0 else pltpu.roll(x, s - Z + 2 * W, 1)
+    v = pltpu.roll(x, (s - Z) % W, 1)
     z = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     return jnp.where(z >= s, u, v)
 
 
-def _make_kernel(params: LDPCParams, iterations: int, alpha: float, Bt: int):
+def _phi(x):
+    x = jnp.clip(x, _PHI_MIN, _PHI_MAX)
+    return -jnp.log(jnp.tanh(x / 2.0))
+
+
+def _sign(x):
+    return jnp.where(x < 0.0, -1.0, 1.0)
+
+
+def _check_messages(v, algorithm, alpha, beta, Bt, W):
+    """Extrinsic messages for one check row from its edge inputs ``v``."""
+    if algorithm in ("min-sum", "offset-min-sum"):
+        m1 = jnp.abs(v[0])
+        m2 = jnp.full((Bt, W), jnp.inf, jnp.float32)
+        idx = jnp.zeros((Bt, W), jnp.int32)
+        sprod = _sign(v[0])
+        for i in range(1, len(v)):
+            av = jnp.abs(v[i])
+            better = av < m1
+            m2 = jnp.where(better, m1, jnp.minimum(m2, av))
+            m1 = jnp.where(better, av, m1)
+            idx = jnp.where(better, i, idx)
+            sprod = sprod * _sign(v[i])
+        out = []
+        for i, ve in enumerate(v):
+            mag = jnp.where(idx == i, m2, m1)
+            if algorithm == "min-sum":
+                mag = alpha * mag
+            else:
+                mag = jnp.maximum(mag - beta, 0.0)
+            out.append(sprod * _sign(ve) * mag)
+        return out
+    elif algorithm == "sum-product":
+        phis = [_phi(jnp.abs(ve)) for ve in v]
+        T = phis[0]
+        for p in phis[1:]:
+            T = T + p
+        sprod = _sign(v[0])
+        for ve in v[1:]:
+            sprod = sprod * _sign(ve)
+        return [
+            sprod * _sign(ve) * _phi(jnp.maximum(T - p, _PHI_MIN))
+            for ve, p in zip(v, phis)
+        ]
+    raise ValueError(f"unsupported algorithm {algorithm}")
+
+
+def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
+                 schedule: str, alpha: float, beta: float, Bt: int):
     by_row, _ = _row_plan(params)
     nc, nr, Z = params.num_cols, params.num_rows, params.Z_c
     W = _pad_width(Z)
     E = len(params.edges[0])
+    flooding = schedule == "flooding"
 
-    def kernel(llr_ref, bits_ref, ok_ref, it_ref, totals, c2v):
+    def kernel(llr_ref, bits_ref, ok_ref, it_ref, totals, c2v, *acc_scratch):
+        acc = acc_scratch[0] if flooding else None
         # Channel LLRs arrive already padded to (Bt, nc*W); load per column.
         for c in range(nc):
             totals[c] = llr_ref[:, c * W : (c + 1) * W]
         c2v[...] = jnp.zeros((E, Bt, W), jnp.float32)
-        valid = _lane_mask(Bt, W, Z) if Z != W else None
+        if Z != W:
+            zlane = jax.lax.broadcasted_iota(jnp.int32, (Bt, W), 1)
+            valid = (zlane < Z).astype(jnp.float32)
+        else:
+            valid = None
 
         def sweep(carry):
-            # done/sweep_ok carried as f32 {0,1} masks — Mosaic cannot carry
-            # i1 vectors through scf.while.
-            it, done, _ = carry
+            # done/sweep_ok/used carried as f32 — Mosaic cannot carry i1
+            # vectors through scf.while.
+            it, done, used = carry
             keep = done > 0.5  # (Bt, 1): freeze finished codewords
             sweep_ok = jnp.ones((Bt, 1), dtype=jnp.float32)
+            if flooding:
+                for c in range(nc):
+                    acc[c] = jnp.zeros((Bt, W), jnp.float32)
             for r in range(nr):
                 edges = by_row[r]
                 t = [_roll_fwd(totals[c], s, Z, W) for (_, c, s) in edges]
@@ -125,53 +186,63 @@ def _make_kernel(params: LDPCParams, iterations: int, alpha: float, Bt: int):
                 sweep_ok = sweep_ok * row_ok
 
                 v = [te - c2v[e] for te, (e, _, _) in zip(t, edges)]
-                # running (m1, m2, argmin) + sign product scan
-                m1 = jnp.abs(v[0])
-                m2 = jnp.full((Bt, W), jnp.inf, jnp.float32)
-                idx = jnp.zeros((Bt, W), jnp.int32)
-                sprod = jnp.where(v[0] < 0.0, -1.0, 1.0)
-                for i in range(1, len(v)):
-                    av = jnp.abs(v[i])
-                    better = av < m1
-                    m2 = jnp.where(better, m1, jnp.minimum(m2, av))
-                    m1 = jnp.where(better, av, m1)
-                    idx = jnp.where(better, i, idx)
-                    sprod = sprod * jnp.where(v[i] < 0.0, -1.0, 1.0)
+                nm = _check_messages(v, algorithm, alpha, beta, Bt, W)
                 for i, (ve, (e, c, s)) in enumerate(zip(v, edges)):
-                    sgn = jnp.where(ve < 0.0, -1.0, 1.0)
-                    mag = alpha * jnp.where(idx == i, m2, m1)
-                    nm = sprod * sgn * mag
-                    c2v[e] = jnp.where(keep, c2v[e], nm)
-                    # layered in-place total update, rotated back
-                    tn = _roll_bwd(jnp.where(keep, t[i], ve + nm), s, Z, W)
-                    totals[c] = tn
+                    c2v[e] = jnp.where(keep, c2v[e], nm[i])
+                    if flooding:
+                        acc[c] = acc[c] + _roll_bwd(nm[i], s, Z, W)
+                    else:
+                        # layered in-place total update, rotated back
+                        tn = _roll_bwd(jnp.where(keep, t[i], ve + nm[i]), s, Z, W)
+                        totals[c] = tn
+            newly = jnp.maximum(done, sweep_ok) - done  # (Bt, 1) {0,1}
+            if flooding:
+                # A codeword whose syndrome passed THIS sweep keeps its
+                # pre-update totals (matches decoder_fast's latch: the output
+                # is the state the syndrome was checked on).  Updates were
+                # deferred to acc, so totals still hold the checked state.
+                keep_out = (done + newly) > 0.5
+                for c in range(nc):
+                    new_t = llr_ref[:, c * W : (c + 1) * W] + acc[c]
+                    totals[c] = jnp.where(keep_out, totals[c], new_t)
+            used = used + newly * it.astype(jnp.float32)
             done = jnp.maximum(done, sweep_ok)
-            return it + 1, done, sweep_ok
+            return it + 1, done, used
 
         def cond(carry):
             it, done, _ = carry
-            return (it < iterations) & (jnp.min(done) < 0.5)
+            return (it <= iterations) & (jnp.min(done) < 0.5)
 
         done0 = jnp.zeros((Bt, 1), dtype=jnp.float32)
-        it_final, done, _ = jax.lax.while_loop(
+        it_final, done, used = jax.lax.while_loop(
             cond, sweep, (jnp.asarray(0, jnp.int32), done0, done0)
         )
+        # codewords never done used the full budget
+        used = jnp.where(done > 0.5, used, float(iterations))
 
         for c in range(nc):
             bits_ref[:, c * W : (c + 1) * W] = (totals[c] < 0.0).astype(jnp.int8)
         ok_ref[...] = done.astype(jnp.int32)
-        it_ref[...] = jnp.broadcast_to(it_final, (Bt, 1)).astype(jnp.int32)
+        it_ref[...] = used.astype(jnp.int32)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _build(params: LDPCParams, iterations: int, alpha: float, Bt: int,
-           interpret: bool = False):
+def _build(params: LDPCParams, iterations: int, algorithm: str, schedule: str,
+           alpha: float, beta: float, Bt: int, interpret: bool = False):
     nc, Z = params.num_cols, params.Z_c
     W = _pad_width(Z)
     E = len(params.edges[0])
-    kernel = _make_kernel(params, iterations, alpha, Bt)
+    kernel = _make_kernel(params, iterations, algorithm, schedule, alpha, beta, Bt)
+    flooding = schedule == "flooding"
+
+    scratch = [
+        pltpu.VMEM((nc, Bt, W), jnp.float32),
+        pltpu.VMEM((E, Bt, W), jnp.float32),
+    ]
+    if flooding:
+        scratch.append(pltpu.VMEM((nc, Bt, W), jnp.float32))
 
     def call(llr_pad):  # (batch, nc*W), batch % Bt == 0
         batch = llr_pad.shape[0]
@@ -192,10 +263,7 @@ def _build(params: LDPCParams, iterations: int, alpha: float, Bt: int,
                 jax.ShapeDtypeStruct((batch, 1), jnp.int32),
                 jax.ShapeDtypeStruct((batch, 1), jnp.int32),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((nc, Bt, W), jnp.float32),
-                pltpu.VMEM((E, Bt, W), jnp.float32),
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(llr_pad)
         return bits, ok, iters
@@ -211,20 +279,24 @@ def decode(
     alpha: float = 0.8125,
     beta: float = 0.15,
     early_termination: bool = True,
-    batch_tile: int = DEFAULT_BATCH_TILE,
+    schedule: str = "layered",
+    batch_tile: int = 0,
     interpret: bool = False,
 ) -> DecodeResult:
-    """Layered normalized min-sum decode of (..., num_cols*Z) LLRs.
+    """BP decode of (..., num_cols*Z) LLRs fully in VMEM.
 
-    Note: this is a *layered* schedule — per-iteration trajectories differ
-    from the flooding reference (typically ~2x faster convergence).  Use
-    ops.decoder_fast for bit-exact flooding/comm.LDPCDecoder semantics.
+    schedule='layered' converges ~2x faster per iteration; 'flooding'
+    reproduces the trajectory of ops.decoder_fast / MATLAB comm.LDPCDecoder
+    (same algorithm, same syndrome-check points) at kernel speed.
     """
-    del beta
-    if algorithm != "min-sum":
-        raise ValueError("pallas decoder implements normalized min-sum only")
+    if algorithm not in ALGORITHMS:
+        raise ValueError(f"unsupported algorithm {algorithm}")
+    if schedule not in SCHEDULES:
+        raise ValueError(f"unsupported schedule {schedule}")
     if not supports(params):
         raise ValueError(f"Z={params.Z_c} too small; use decoder_fast")
+    if batch_tile <= 0:
+        batch_tile = FLOODING_BATCH_TILE if schedule == "flooding" else LAYERED_BATCH_TILE
     nc, Z = params.num_cols, params.Z_c
     W = _pad_width(Z)
     assert llr.shape[-1] == nc * Z
@@ -242,7 +314,8 @@ def decode(
             [flat, jnp.full((pad, nc * W), _PAD_LLR, jnp.float32)], axis=0
         )
 
-    call = _build(params, iterations, alpha, batch_tile, interpret)
+    call = _build(params, iterations, algorithm, schedule, alpha, beta,
+                  batch_tile, interpret)
     bits, ok, iters = call(flat)
 
     bits = bits[:batch].reshape(batch, nc, W)[:, :, :Z]
@@ -250,6 +323,6 @@ def decode(
     ok = ok[:batch, 0].astype(bool).reshape(batch_shape)
     iters = iters[:batch, 0].reshape(batch_shape)
     if not early_termination:
-        # layered kernel always early-terminates; report max iterations
+        # the kernel always terminates early; report the full budget
         iters = jnp.full(batch_shape, iterations, jnp.int32)
     return DecodeResult(bits=bits, parity_ok=ok, iterations=iters)

@@ -68,6 +68,28 @@ def test_batch_padding():
     np.testing.assert_array_equal(np.asarray(r.bits), cw)
 
 
+@pytest.mark.parametrize("algorithm", ["min-sum", "sum-product", "offset-min-sum"])
+def test_flooding_schedule_bit_exact_vs_fast(algorithm):
+    """kernel(schedule='flooding') must reproduce decoder_fast exactly:
+    same bits, same parity flags, same per-codeword iteration counts."""
+    p = LDPCParams(BG=2, A=400, G=1200, Q_m=2)  # Z=52, exercises padding too
+    cw, llr = _noisy_llrs(p, 16, 1.0, key=11)
+    rk = jax.jit(
+        partial(decode_pallas, p, iterations=12, algorithm=algorithm,
+                schedule="flooding", interpret=True)
+    )(llr)
+    rf = jax.jit(
+        partial(decode_fast, p, iterations=12, algorithm=algorithm)
+    )(llr)
+    np.testing.assert_array_equal(np.asarray(rk.bits), np.asarray(rf.bits))
+    np.testing.assert_array_equal(
+        np.asarray(rk.parity_ok), np.asarray(rf.parity_ok)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rk.iterations), np.asarray(rf.iterations)
+    )
+
+
 def test_padded_z_lane_wraparound():
     """Z not a lane multiple uses the double-roll wraparound path."""
     p = LDPCParams(BG=2, A=400, G=1200, Q_m=2)  # Z=52, W=128
