@@ -26,8 +26,6 @@ MATLAB_CODEWORDS_PER_SEC_EST = 20.0  # documented assumption, see module docstri
 
 
 def main():
-    from functools import partial
-
     from ldpc_3gpp_tpu.models.chain import ChainConfig, simulate_batch
     from ldpc_3gpp_tpu.spec.params import LDPCParams
     from ldpc_3gpp_tpu.utils.cache import enable_compilation_cache

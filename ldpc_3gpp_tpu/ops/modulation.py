@@ -125,6 +125,20 @@ def demodulate(
     2^(Qm/2)-level ones — 16x less work for 256QAM, bit-identical LLRs.
     """
     qm = Q_M[modulation]
+    if modulation in ("BPSK", "QPSK") and method in ("exact", "maxlog"):
+        # 2-level PAM per bit: exact LLR is linear in y (and equals max-log).
+        #   BPSK: LLR = (|y-p1|^2 - |y-p0|^2)/var = 4 Re(y conj(p0))/var
+        #              = 2 sqrt(2) (Re + Im)/var     (p0 = (1+j)/sqrt2)
+        #   QPSK: b0 on Re, b1 on Im with levels +-1/sqrt2:
+        #         LLR_bi = 4 a coord / var = 2 sqrt(2) coord / var
+        scale = 2.0 * np.sqrt(2.0) / noise_var
+        if modulation == "BPSK":
+            llr = (scale * (jnp.real(y) + jnp.imag(y)))[..., None]
+        else:
+            llr = jnp.stack(
+                [scale * jnp.real(y), scale * jnp.imag(y)], axis=-1
+            )
+        return llr.reshape(y.shape[:-1] + (y.shape[-1] * qm,))
     if qm >= 2:
         return _demodulate_pam(y, modulation, noise_var, method)
     return _demodulate_full(y, modulation, noise_var, method)

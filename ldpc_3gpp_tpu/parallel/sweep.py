@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -176,10 +176,12 @@ def bler_vs_snr(
                             fid.write(f"{esn0:f}\t{bler:e}\n")
                             fid.flush()
                         if verbose:
+                            mean_it = pt.iterations / max(pt.blocks * cfg.params.C, 1)
                             print(
                                 f"BG{bg_i} R={r_i:.3g} A={a_i} "
                                 f"Es/N0={esn0:+.2f} dB  BLER={bler:.3e} "
-                                f"({pt.block_errors}/{pt.blocks})"
+                                f"({pt.block_errors}/{pt.blocks}, "
+                                f"{mean_it:.1f} it/CB)"
                             )
                         esn0 += esn0_delta
                 out[(bg_i, r_i, a_i)] = points

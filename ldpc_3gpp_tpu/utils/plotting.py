@@ -7,7 +7,7 @@ on sweep results (or on the results/*.txt files they wrote).
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 
 def plot_bler_curves(

@@ -16,7 +16,6 @@ from functools import partial
 
 import jax
 import numpy as np
-import pytest
 
 from ldpc_3gpp_tpu.models.chain import ChainConfig, simulate_batch
 from ldpc_3gpp_tpu.spec.params import LDPCParams

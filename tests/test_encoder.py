@@ -1,6 +1,4 @@
 """QC-LDPC encoder property tests: H @ c = 0 across the lifting space."""
-import itertools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,7 +6,7 @@ import pytest
 
 from ldpc_3gpp_tpu.ops.encoder import encode, syndrome
 from ldpc_3gpp_tpu.spec.params import LDPCParams
-from ldpc_3gpp_tpu.spec.tables import ALL_LIFTING_SIZES, base_graph
+from ldpc_3gpp_tpu.spec.tables import ALL_LIFTING_SIZES
 
 RNG = np.random.default_rng(7)
 
@@ -51,8 +49,9 @@ def test_parity_all_lifting_sizes(bg):
             continue
         c = RNG.integers(0, 2, size=(2, p.K)).astype(np.uint8)
         c[:, p.K_prime :] = 0
-        cw = jax.jit(lambda x, p=p: encode(p, x))(jnp.asarray(c))
-        syn = np.asarray(jax.jit(lambda x, p=p: syndrome(p, x))(cw))
+        # eager on CPU: ~90 configs would pay ~90 jit compiles otherwise
+        cw = encode(p, jnp.asarray(c))
+        syn = np.asarray(syndrome(p, cw))
         assert syn.max() == 0, f"BG{bg} Z={Z} (i_LS={p.i_LS}) has nonzero syndrome"
         # systematic property
         np.testing.assert_array_equal(np.asarray(cw)[:, : p.K], c)

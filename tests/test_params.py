@@ -1,5 +1,4 @@
 """Parameter-engine tests against TS38.212 rules (SURVEY.md section 2.1 #1)."""
-import numpy as np
 import pytest
 
 from ldpc_3gpp_tpu.spec.params import LDPCParams

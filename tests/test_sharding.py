@@ -10,11 +10,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 from jax.sharding import Mesh
 
 from ldpc_3gpp_tpu.models.chain import ChainConfig
-from ldpc_3gpp_tpu.parallel.montecarlo import MonteCarlo, default_mesh
+from ldpc_3gpp_tpu.parallel.montecarlo import MonteCarlo
 from ldpc_3gpp_tpu.spec.params import LDPCParams
 
 
