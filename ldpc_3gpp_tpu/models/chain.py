@@ -54,7 +54,9 @@ class ChainConfig:
 class BatchResult(NamedTuple):
     blocks: jax.Array  # () number of transport blocks simulated
     block_errors: jax.Array  # () blocks where a_hat != a (or never decoded)
-    bit_errors: jax.Array  # () info bit errors over the batch
+    # info bit errors; a block that never decoded counts all A bits as wrong
+    # (matches the reference, whose failed decodes return [] — no bits at all)
+    bit_errors: jax.Array  # ()
     iterations: jax.Array  # () total BP iterations spent (all CBs, all rvs)
     tb_ok: jax.Array  # (batch,) per-block success (for found-start logic)
 
