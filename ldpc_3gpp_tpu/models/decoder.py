@@ -106,7 +106,9 @@ def split_rate_matched(params: LDPCParams, g_tilde: jax.Array) -> jax.Array:
     NRLDPCDecoder.m:143-234).  Excluded code blocks (E_r == 0) produce an
     all-zero LLR row.
     """
-    assert g_tilde.shape[-1] == params.G
+    assert g_tilde.shape[-1] == params.G, (
+        f"expected {params.G} rate-matched LLRs, got {g_tilde.shape[-1]}"
+    )
     rows = []
     off = 0
     for r in range(params.C):

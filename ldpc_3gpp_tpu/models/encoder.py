@@ -75,7 +75,9 @@ def encode_transport_block(
 
     Equivalent to ``g = step(NRLDPCEncoder(...), a)`` (NRLDPCEncoder.m:60-67).
     """
-    assert a.shape[-1] == params.A
+    assert a.shape[-1] == params.A, (
+        f"expected {params.A} info bits per block, got {a.shape[-1]}"
+    )
     b = crc_attach(a, params.tb_crc)
     c = segment(params, b)
     cw = ENCODE_BACKENDS[backend](params, c)
