@@ -49,8 +49,8 @@ def main():
         schedule="layered",  # BASELINE config #2: layered normalized min-sum
     )
 
-    batch = 256
-    steps = 16  # sim steps per dispatch: amortises host->device launch latency
+    batch = 512
+    steps = 8  # sim steps per dispatch: amortises host->device launch latency
     esn0 = 1.0  # near the BG1 R=1/3 waterfall: realistic iteration mix
 
     def sim_many(key, esn0_db):
