@@ -159,3 +159,28 @@ def test_simulate_batch_reproducible():
     r2 = jax.tree.map(np.asarray, sim(jax.random.PRNGKey(5), 1.0))
     assert r1.block_errors == r2.block_errors
     np.testing.assert_array_equal(r1.tb_ok, r2.tb_ok)
+
+
+def test_lbrm_harq_roundtrip():
+    """Limited-buffer rate matching (N_cb < N) with HARQ accumulation."""
+    A = 4000
+    p = LDPCParams(BG=1, A=A, G=6000, Q_m=2, I_LBRM=1, TBS_LBRM=4000, rv_id=0)
+    assert p.N_cb < p.N
+    batch = 4
+    a = jnp.asarray(RNG.integers(0, 2, size=(batch, A)).astype(np.int8))
+    var = esn0_to_variance(4.0)
+    state = init_harq_state(p, (batch,))
+    assert state.d_buf.shape == (batch, p.C, p.N_cb)
+    got = None
+    for t, rv in enumerate((0, 3)):
+        prv = LDPCParams(BG=1, A=A, G=6000, Q_m=2, I_LBRM=1, TBS_LBRM=4000,
+                         rv_id=rv)
+        g = encode_transport_block(prv, a)
+        tx = modulate(g, "QPSK")
+        rx = awgn(jax.random.PRNGKey(50 + t), tx, var)
+        llr = demodulate(rx, "QPSK", var, "exact")
+        res = decode_transport_block(prv, llr, state, iterations=25)
+        state = res.state
+        got = res
+    assert np.asarray(got.tb_ok).all()
+    np.testing.assert_array_equal(np.asarray(got.a_hat), np.asarray(a))
