@@ -30,10 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..spec.params import LDPCParams
-from .decoder import DecodeResult
-
-_PHI_MIN = 1e-9
-_PHI_MAX = 38.0
+from .decoder import DecodeResult, _PHI_MAX, _PHI_MIN, _phi
 
 
 @functools.lru_cache(maxsize=None)
@@ -46,11 +43,6 @@ def _row_plan(params: LDPCParams):
         by_row[int(r)].append((e, int(c), int(s)))
         by_col[int(c)].append((e, int(s)))
     return by_row, by_col
-
-
-def _phi(x):
-    x = jnp.clip(x, _PHI_MIN, _PHI_MAX)
-    return -jnp.log(jnp.tanh(x / 2.0))
 
 
 def decode(
@@ -160,15 +152,22 @@ def decode(
         out_totals = jnp.where(newly[..., None], totals, out_totals)
         done = done | ok
 
+        # The final body pass (it == iterations) exists only to check the
+        # syndrome after the last permitted update — applying another update
+        # there would give never-converged codewords iterations+1 updates
+        # (diverging from ops/decoder.py and comm.LDPCDecoder semantics).
+        upd = it < iterations
         new_totals = jnp.stack(
             [llr_blocks[c] + col_acc[c] for c in range(nc)], axis=0
         )
+        new_totals = jnp.where(upd, new_totals, totals)
+        new_c2v_arr = jnp.where(upd, jnp.stack(new_c2v, axis=0), c2v_arr)
         return (
             it + 1,
             new_totals,
-            jnp.stack(new_c2v, axis=0),
+            new_c2v_arr,
             done,
-            jnp.where(done, used, it + 1),
+            jnp.where(done, used, jnp.minimum(it + 1, iterations)),
             out_totals,
         )
 

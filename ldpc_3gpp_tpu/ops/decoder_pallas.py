@@ -43,15 +43,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..spec.params import LDPCParams
-from .decoder import DecodeResult
+from .decoder import DecodeResult, _PHI_MAX, _PHI_MIN, _phi
 from .decoder_fast import _row_plan
 
 LAYERED_BATCH_TILE = 16
 FLOODING_BATCH_TILE = 8  # flooding carries an extra (nc, Bt, W) accumulator
 _PAD_LLR = 1e9  # pad lanes decode to bit 0 and stay finite
 _MIN_Z = 8  # below this the XLA flooding path is at least as good
-_PHI_MIN = 1e-9  # match ops.decoder._phi clamping exactly
-_PHI_MAX = 38.0
 
 ALGORITHMS = ("min-sum", "offset-min-sum", "sum-product")
 SCHEDULES = ("layered", "flooding")
@@ -93,11 +91,6 @@ def _roll_bwd(x, s, Z, W):
     v = pltpu.roll(x, (s - Z) % W, 1)
     z = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     return jnp.where(z >= s, u, v)
-
-
-def _phi(x):
-    x = jnp.clip(x, _PHI_MIN, _PHI_MAX)
-    return -jnp.log(jnp.tanh(x / 2.0))
 
 
 def _sign(x):
@@ -166,7 +159,11 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
             # done/sweep_ok/used carried as f32 — Mosaic cannot carry i1
             # vectors through scf.while.
             it, done, used = carry
-            keep = done > 0.5  # (Bt, 1): freeze finished codewords
+            # Freeze finished codewords, and ALL updates on the final pass
+            # (it == iterations), which exists only to check the syndrome of
+            # the last permitted update — never-converged codewords must end
+            # on exactly `iterations` updates (matches ops/decoder*.py).
+            keep = jnp.logical_or(done > 0.5, it >= iterations)  # (Bt, 1)
             sweep_ok = jnp.ones((Bt, 1), dtype=jnp.float32)
             if flooding:
                 for c in range(nc):
@@ -200,7 +197,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                 # pre-update totals (matches decoder_fast's latch: the output
                 # is the state the syndrome was checked on).  Updates were
                 # deferred to acc, so totals still hold the checked state.
-                keep_out = (done + newly) > 0.5
+                keep_out = jnp.logical_or((done + newly) > 0.5, it >= iterations)
                 for c in range(nc):
                     new_t = llr_ref[:, c * W : (c + 1) * W] + acc[c]
                     totals[c] = jnp.where(keep_out, totals[c], new_t)

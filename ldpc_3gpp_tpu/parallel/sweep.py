@@ -245,11 +245,16 @@ def snr_vs_a(
                         found_start, max_blocks_per_point,
                     )
                     prev_bler, bler = bler, pt.bler
-                # log-domain interpolation to the target (plot_SNR_vs_A.m:175)
+                # log-domain interpolation to the target (plot_SNR_vs_A.m:175).
+                # A zero-error final point has no measurable BLER; floor it at
+                # the resolution of the sample size so log10 stays finite
+                # (otherwise interp would return prev_esn0 — an SNR whose
+                # measured BLER was ABOVE target).
+                bler_f = max(bler, 0.5 / max(pt.blocks, 1))
                 required = float(
                     np.interp(
                         np.log10(target_bler),
-                        [np.log10(bler), np.log10(prev_bler)],
+                        [np.log10(bler_f), np.log10(prev_bler)],
                         [esn0, prev_esn0],
                     )
                 )

@@ -93,3 +93,25 @@ def test_min_sum_close_to_sum_product():
     n_sp = int(np.asarray(sp.parity_ok).sum())
     n_ms = int(np.asarray(ms.parity_ok).sum())
     assert abs(n_sp - n_ms) <= 6, (n_sp, n_ms)
+
+
+def test_early_termination_budget_exact():
+    """Never-converged codewords must get EXACTLY `iterations` updates.
+
+    Regression for an off-by-one where the early-termination loop's final
+    syndrome-check pass also applied an extra update: with random
+    non-convergent LLRs, fast-ET(N) must equal the oracle at N and differ
+    from the oracle at N+1.
+    """
+    p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
+    llr = jnp.asarray(RNG.normal(size=(8, p.num_cols * p.Z_c)).astype(np.float32))
+    from ldpc_3gpp_tpu.ops.decoder_fast import decode as decode_fast_impl
+
+    for N in (3, 5):
+        ro = jax.jit(partial(decode, p, iterations=N, algorithm="min-sum"))(llr)
+        ro1 = jax.jit(partial(decode, p, iterations=N + 1, algorithm="min-sum"))(llr)
+        rf = jax.jit(
+            partial(decode_fast_impl, p, iterations=N, algorithm="min-sum")
+        )(llr)
+        np.testing.assert_array_equal(np.asarray(rf.bits), np.asarray(ro.bits))
+        assert not np.array_equal(np.asarray(rf.bits), np.asarray(ro1.bits))
