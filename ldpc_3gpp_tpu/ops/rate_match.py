@@ -7,14 +7,18 @@ code parameters, so the whole loop collapses at trace time into a precomputed
 index vector:
 
 - encoder: ``e = d[..., idx]``  (one gather)
-- decoder: ``d_tilde = zeros.at[idx].add(e_tilde)``  (one scatter-add, which
-  also performs the LLR Chase combining of repeated bits for free)
+- decoder: the index vector is ``tile(cycle, reps)[:E]`` for one fixed cycle
+  of non-filler buffer positions, so the scatter-add the reference implies
+  (NRLDPCDecoder.m:228-234) factors into a reshape+sum over the repetition
+  axis (the LLR Chase combining) followed by a static inverse-permutation
+  gather — XLA scatters serialize on TPU, gathers vectorize.
 
 The Section 5.4.2.2 bit interleaver is a reshape/transpose.
 """
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,13 +68,47 @@ def select_bits(params: LDPCParams, d: jax.Array, E: int) -> jax.Array:
     return jnp.take(d, idx, axis=-1)
 
 
+@functools.lru_cache(maxsize=None)
+def _buffer_slot_map(params: LDPCParams) -> Tuple[np.ndarray, int]:
+    """(N,)-map from buffer position to cycle slot, plus the cycle length.
+
+    ``selection_indices`` reads ``tile(cycle, reps)[:E]``; inverting it,
+    buffer position ``cycle[t]`` collects exactly the emitted offsets
+    ``t, t+len(cycle), t+2*len(cycle), ...`` and every other position
+    (fillers, never-transmitted) collects nothing.  Those get slot
+    ``len(cycle)`` — an appended all-zero column.
+    """
+    lo, hi = params.filler_range_d
+    k0, N_cb = params.k_0, params.N_cb
+    offsets = (k0 + np.arange(N_cb)) % N_cb
+    cycle = offsets[(offsets < lo) | (offsets >= hi)]
+    slot = np.full(params.N, cycle.size, dtype=np.int32)
+    slot[cycle] = np.arange(cycle.size, dtype=np.int32)
+    return slot, cycle.size
+
+
 def accumulate_llrs(params: LDPCParams, e_tilde: jax.Array, E: int) -> jax.Array:
-    """Decoder bit selection: scatter-add rate-matched LLRs into the buffer.
+    """Decoder bit selection: accumulate rate-matched LLRs into the buffer.
 
     e_tilde: (..., E) -> d_tilde (..., N).  Repeated positions accumulate
     (Chase combining, NRLDPCDecoder.m:228-234).  Filler positions receive no
     contribution; the chain later pins them to +inf (known zero bits).
+
+    Equivalent to ``zeros(N).at[selection_indices].add(e_tilde)`` but with
+    no scatter: sum over the circular-buffer repetition axis, then one
+    static gather placing each cycle slot at its buffer position.
     """
-    idx = jnp.asarray(selection_indices(params, E))
-    zeros = jnp.zeros(e_tilde.shape[:-1] + (params.N,), e_tilde.dtype)
-    return zeros.at[..., idx].add(e_tilde)
+    slot_np, cycle_size = _buffer_slot_map(params)
+    slot = jnp.asarray(slot_np)
+    lead = e_tilde.shape[:-1]
+    reps = -(-E // cycle_size)
+    pad = reps * cycle_size - E
+    if pad:
+        e_tilde = jnp.pad(e_tilde, [(0, 0)] * len(lead) + [(0, pad)])
+    if reps > 1:
+        acc = e_tilde.reshape(lead + (reps, cycle_size)).sum(axis=-2)
+    else:
+        acc = e_tilde
+    # zero slot for positions that receive nothing
+    acc = jnp.pad(acc, [(0, 0)] * len(lead) + [(0, 1)])
+    return jnp.take(acc, slot, axis=-1)
