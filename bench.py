@@ -29,6 +29,7 @@ def main():
     from ldpc_3gpp_tpu.models.chain import ChainConfig, simulate_batch
     from ldpc_3gpp_tpu.spec.params import LDPCParams
     from ldpc_3gpp_tpu.utils.cache import enable_compilation_cache
+    from ldpc_3gpp_tpu.utils.rng import fast_key
 
     enable_compilation_cache()
 
@@ -65,24 +66,27 @@ def main():
 
     # compile + warmup (int() forces a host round trip — on the remote-TPU
     # tunnel block_until_ready alone does not guarantee execution finished)
-    key = jax.random.PRNGKey(0)
-    r = sim(key, jnp.asarray(esn0, jnp.float32))
+    e = jnp.asarray(esn0, jnp.float32)
+    r = sim(fast_key(0), e)
     _ = int(r[1])
 
-    # The tunnel to the shared TPU pool has highly variable queueing latency;
-    # the min over reps estimates true hardware throughput.
-    reps = 10
+    # The tunnel's fixed ~30 ms dispatch round trip would be ~50% of a
+    # single call at these sizes, so submit each trial's calls back-to-back
+    # and fetch ONE aggregate scalar (the only reliable sync point over the
+    # tunnel) — on-device work then pipelines behind the transfers.  Best of
+    # several trials rides out the shared pool's queueing variance.
+    trials, reps = 4, 8
     times = []
     errs = 0
-    for i in range(reps):
+    for t in range(trials):
         t0 = time.perf_counter()
-        r = sim(jax.random.PRNGKey(i + 1), jnp.asarray(esn0, jnp.float32))
-        errs += int(r[1])  # host fetch = hard sync point
+        outs = [sim(fast_key(1 + t * reps + i), e) for i in range(reps)]
+        errs += int(sum(o[1] for o in outs))  # host fetch = hard sync point
         times.append(time.perf_counter() - t0)
 
     blocks_per_call = batch * steps
-    blocks = reps * blocks_per_call
-    best = min(times)
+    blocks = trials * reps * blocks_per_call
+    best = min(times) / reps
     blocks_per_sec = blocks_per_call / best
     info_mbps = blocks_per_sec * A / 1e6
     print(
@@ -99,7 +103,9 @@ def main():
                     "block_errors": errs,
                     "blocks": blocks,
                     "rep_time_min_s": round(best, 4),
-                    "rep_time_median_s": round(sorted(times)[len(times) // 2], 4),
+                    "rep_time_median_s": round(
+                        sorted(times)[len(times) // 2] / reps, 4
+                    ),
                     "backend": jax.default_backend(),
                 },
             }

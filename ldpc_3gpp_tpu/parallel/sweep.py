@@ -27,6 +27,7 @@ from ..models.chain import ChainConfig
 from ..ops.modulation import Q_M
 from ..spec.params import LDPCParams
 from ..spec.tables import UnsupportedParameters
+from ..utils.rng import fast_key
 from .montecarlo import MonteCarlo
 
 
@@ -153,7 +154,7 @@ def bler_vs_snr(
                         for line in fid:
                             e_s, b_s = line.split()
                             done_points[round(float(e_s), 6)] = float(b_s)
-                key = jax.random.PRNGKey(seed)
+                key = fast_key(seed)
                 points: List[SweepPoint] = []
                 esn0, bler, found_start = esn0_start, 1.0, False
                 with open(fname, "a" if resume else "w") as fid:
@@ -234,7 +235,7 @@ def snr_vs_a(
                     batch_per_device=batch_per_device,
                     steps_per_call=steps_per_call,
                 )
-                key = jax.random.PRNGKey(seed)
+                key = fast_key(seed)
                 esn0 = esn0_start - esn0_delta
                 bler, prev_bler, prev_esn0 = 1.0, float("nan"), float("nan")
                 found_start = False

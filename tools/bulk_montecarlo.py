@@ -55,7 +55,8 @@ def main():
         cfg, batch_per_device=args.batch_per_device,
         steps_per_call=args.steps_per_call,
     )
-    key = jax.random.PRNGKey(args.seed)
+    from ldpc_3gpp_tpu.utils.rng import fast_key
+    key = fast_key(args.seed)
     totals = {"blocks": 0, "block_errors": 0, "bit_errors": 0, "iterations": 0}
     # warm up / compile
     key, sub = jax.random.split(key)

@@ -6,8 +6,12 @@ block, and fetching a result pays ~30 ms/MB transfer.  This measures each
 stage by running it K times INSIDE one jit (serialised by a data dependency)
 and fetching only a scalar; the per-call cost is the K-slope.
 """
+import os
+import sys
 import time
 from functools import partial
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
