@@ -78,6 +78,13 @@ def modulate(bits: jax.Array, modulation: str) -> jax.Array:
     qm = Q_M[modulation]
     G = bits.shape[-1]
     assert G % qm == 0, "bit count must be a multiple of Q_m"
+    if modulation in ("BPSK", "QPSK"):
+        # closed form beats the table gather: just sign flips and a scale
+        s = (1.0 - 2.0 * bits.astype(jnp.float32)) / np.float32(np.sqrt(2.0))
+        if modulation == "BPSK":
+            return jax.lax.complex(s, s)
+        pairs = s.reshape(s.shape[:-1] + (G // 2, 2))
+        return jax.lax.complex(pairs[..., 0], pairs[..., 1])
     groups = bits.reshape(bits.shape[:-1] + (G // qm, qm)).astype(jnp.int32)
     weights = jnp.asarray(1 << (qm - 1 - np.arange(qm)), dtype=jnp.int32)
     idx = jnp.sum(groups * weights, axis=-1)

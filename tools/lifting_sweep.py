@@ -57,6 +57,9 @@ def main():
 
     if jax.default_backend() != "tpu":
         jax.config.update("jax_platforms", "cpu")
+    from ldpc_3gpp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
     from functools import partial
