@@ -74,22 +74,47 @@ def _simulate_point(
     target_block_errors: int,
     found_start: bool,
     max_blocks: int,
+    max_window: int = 8,
+    prior_bler: float = 0.0,
 ) -> Tuple[SweepPoint, bool, jax.Array]:
     """Accumulate batches at one SNR until enough block errors are seen.
 
     Implements the reference's found-start fast-forward in batched form:
     before the first-ever success for this curve, a batch with zero
     successes abandons the point immediately (plot_BLER_vs_SNR.m:139-141).
+
+    Once the point is known to need more samples, dispatches are pipelined
+    in windows sized from the observed error rate (one host fetch per
+    window — the fetch round trip would otherwise idle a remote TPU ~50%
+    of the time at low BLER).
     """
     pt = SweepPoint(esn0, 0, 0, 0, 0)
     while pt.block_errors < target_block_errors and pt.blocks < max_blocks:
         key, sub = jax.random.split(key)
-        c = mc.run(sub, esn0)
-        if not found_start and c["block_errors"] == c["blocks"]:
-            # no success yet anywhere and this batch is all errors: skip ahead
-            pt = SweepPoint(esn0, c["blocks"], c["block_errors"], c["bit_errors"], c["iterations"])
-            return pt, False, key
-        found_start = found_start or c["block_errors"] < c["blocks"]
+        if not found_start or max_window <= 1:
+            c = mc.run(sub, esn0)
+            if not found_start and c["block_errors"] == c["blocks"]:
+                # no success yet anywhere, batch all errors: skip ahead
+                pt = SweepPoint(esn0, c["blocks"], c["block_errors"],
+                                c["bit_errors"], c["iterations"])
+                return pt, False, key
+            found_start = True
+        else:
+            need = target_block_errors - pt.block_errors
+            if pt.block_errors > 0:
+                rate = pt.block_errors / pt.blocks
+            else:
+                # previous point's BLER upper-bounds this (higher-SNR) one,
+                # so the window it implies undershoots — safely so
+                rate = prior_bler
+            if rate > 0:
+                per_call = rate * mc.blocks_per_run
+                window = int(-(-need // max(per_call, 1e-9)))
+            else:
+                window = max_window  # no information: BLER is low, go wide
+            headroom = -(-(max_blocks - pt.blocks) // mc.blocks_per_run)
+            window = max(1, min(window, max_window, headroom))
+            c = mc.run_pipelined(sub, esn0, window)
         pt.blocks += c["blocks"]
         pt.block_errors += c["block_errors"]
         pt.bit_errors += c["bit_errors"]
@@ -170,6 +195,7 @@ def bler_vs_snr(
                         pt, found_start, key = _simulate_point(
                             mc, key, esn0, target_block_errors,
                             found_start, max_blocks_per_point,
+                            prior_bler=bler if bler < 1 else 0.0,
                         )
                         points.append(pt)
                         bler = pt.bler
@@ -244,6 +270,7 @@ def snr_vs_a(
                     pt, found_start, key = _simulate_point(
                         mc, key, esn0, target_block_errors,
                         found_start, max_blocks_per_point,
+                        prior_bler=bler if bler < 1 else 0.0,
                     )
                     prev_bler, bler = bler, pt.bler
                 # log-domain interpolation to the target (plot_SNR_vs_A.m:175).

@@ -65,7 +65,8 @@ def main():
     last_print = t0
     while totals["blocks"] < args.blocks:
         key, sub = jax.random.split(key)
-        c = mc.run(sub, args.esn0)
+        remaining = -(-(args.blocks - totals["blocks"]) // mc.blocks_per_run)
+        c = mc.run_pipelined(sub, args.esn0, min(8, max(1, remaining)))
         for k in totals:
             totals[k] += c[k]
         now = time.time()
