@@ -35,7 +35,10 @@ def params_for_z(bg, Z, qm, rate):
     A = K_prime - L
     if A <= 0:
         return None
-    G = int(round(A / rate / qm) * qm)
+    # Rate over K' (info+CRC), not A: at tiny Z the CRC dominates and a
+    # rate over A alone yields G < K' — an undecodable configuration (the
+    # 2Z punctured systematic bits could never be recovered).
+    G = int(round(K_prime / rate / qm) * qm)
     try:
         p = LDPCParams(BG=bg, A=A, G=G, Q_m=qm)
     except UnsupportedParameters:
