@@ -43,6 +43,7 @@ class ChainConfig:
     early_termination: bool = True
     backend: str = "fast"  # BP decoder implementation (models.decoder.DECODE_BACKENDS)
     schedule: str = "flooding"  # BP schedule ('layered' needs backend auto/pallas)
+    message_dtype: str = "float32"  # kernel state dtype ('bfloat16': 2x tile)
 
     def __post_init__(self):
         assert Q_M[self.modulation] == self.params.Q_m, (
@@ -98,6 +99,7 @@ def simulate_batch(
             early_termination=cfg.early_termination,
             backend=cfg.backend,
             schedule=cfg.schedule,
+            message_dtype=cfg.message_dtype,
         )
         state = res.state
         newly = res.tb_ok & ~success

@@ -51,6 +51,7 @@ def _bp_decode_auto(params, llr, *, algorithm, schedule="layered", **kw):
     if schedule != "flooding" and not on_tpu:
         # CPU fallback implements flooding only; layered is a TPU-kernel luxury
         schedule = "flooding"
+    kw.pop("message_dtype", None)  # perf knob of the kernel, not semantics
     return bp_decode_fast(params, llr, algorithm=algorithm, **kw)
 
 
@@ -134,6 +135,7 @@ def decode_transport_block(
     early_termination: bool = True,
     backend: str = "fast",
     schedule: str = "flooding",
+    message_dtype: str = "float32",
 ) -> TBDecodeResult:
     """Full decode chain for one (re)transmission of (..., G) channel LLRs.
 
@@ -161,6 +163,14 @@ def decode_transport_block(
     if Kp < K:
         cw_llr = cw_llr.at[..., Kp:K].set(FILLER_LLR)
 
+    extra = {}
+    if message_dtype != "float32":
+        if backend not in ("pallas", "auto"):
+            raise ValueError(
+                f"message_dtype={message_dtype} is a pallas-kernel knob; "
+                f"backend {backend!r} is f32-only"
+            )
+        extra["message_dtype"] = message_dtype
     res = DECODE_BACKENDS[backend](
         params,
         cw_llr,
@@ -170,6 +180,7 @@ def decode_transport_block(
         beta=beta,
         early_termination=early_termination,
         schedule=schedule,
+        **extra,
     )
     c_hat = res.bits  # (..., C, num_cols*Z)
 

@@ -48,6 +48,9 @@ from .decoder_fast import _row_plan
 
 LAYERED_BATCH_TILE = 16
 FLOODING_BATCH_TILE = 8  # flooding carries an extra (nc, Bt, W) accumulator
+# bf16 state halves VMEM: twice the codewords per tile for the same budget
+LAYERED_BATCH_TILE_BF16 = 32
+FLOODING_BATCH_TILE_BF16 = 16
 _PAD_LLR = 1e9  # pad lanes decode to bit 0 and stay finite
 _MIN_Z = 8  # below this the XLA flooding path is at least as good
 
@@ -99,9 +102,10 @@ def _sign(x):
 
 def _check_messages(v, algorithm, alpha, beta, Bt, W):
     """Extrinsic messages for one check row from its edge inputs ``v``."""
+    dtype = v[0].dtype
     if algorithm in ("min-sum", "offset-min-sum"):
         m1 = jnp.abs(v[0])
-        m2 = jnp.full((Bt, W), jnp.inf, jnp.float32)
+        m2 = jnp.full((Bt, W), jnp.inf, dtype)
         idx = jnp.zeros((Bt, W), jnp.int32)
         sprod = _sign(v[0])
         for i in range(1, len(v)):
@@ -136,7 +140,8 @@ def _check_messages(v, algorithm, alpha, beta, Bt, W):
 
 
 def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
-                 schedule: str, alpha: float, beta: float, Bt: int):
+                 schedule: str, alpha: float, beta: float, Bt: int,
+                 dtype=jnp.float32):
     by_row, _ = _row_plan(params)
     nc, nr, Z = params.num_cols, params.num_rows, params.Z_c
     W = _pad_width(Z)
@@ -148,10 +153,10 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
         # Channel LLRs arrive already padded to (Bt, nc*W); load per column.
         for c in range(nc):
             totals[c] = llr_ref[:, c * W : (c + 1) * W]
-        c2v[...] = jnp.zeros((E, Bt, W), jnp.float32)
+        c2v[...] = jnp.zeros((E, Bt, W), dtype)
         if Z != W:
             zlane = jax.lax.broadcasted_iota(jnp.int32, (Bt, W), 1)
-            valid = (zlane < Z).astype(jnp.float32)
+            valid = (zlane < Z).astype(jnp.float32)  # parity mask stays f32
         else:
             valid = None
 
@@ -167,7 +172,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
             sweep_ok = jnp.ones((Bt, 1), dtype=jnp.float32)
             if flooding:
                 for c in range(nc):
-                    acc[c] = jnp.zeros((Bt, W), jnp.float32)
+                    acc[c] = jnp.zeros((Bt, W), dtype)
             for r in range(nr):
                 edges = by_row[r]
                 t = [_roll_fwd(totals[c], s, Z, W) for (_, c, s) in edges]
@@ -226,19 +231,22 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
 
 @functools.lru_cache(maxsize=None)
 def _build(params: LDPCParams, iterations: int, algorithm: str, schedule: str,
-           alpha: float, beta: float, Bt: int, interpret: bool = False):
+           alpha: float, beta: float, Bt: int, interpret: bool = False,
+           dtype_name: str = "float32"):
     nc, Z = params.num_cols, params.Z_c
     W = _pad_width(Z)
     E = len(params.edges[0])
-    kernel = _make_kernel(params, iterations, algorithm, schedule, alpha, beta, Bt)
+    dtype = jnp.dtype(dtype_name)
+    kernel = _make_kernel(params, iterations, algorithm, schedule, alpha, beta,
+                          Bt, dtype)
     flooding = schedule == "flooding"
 
     scratch = [
-        pltpu.VMEM((nc, Bt, W), jnp.float32),
-        pltpu.VMEM((E, Bt, W), jnp.float32),
+        pltpu.VMEM((nc, Bt, W), dtype),
+        pltpu.VMEM((E, Bt, W), dtype),
     ]
     if flooding:
-        scratch.append(pltpu.VMEM((nc, Bt, W), jnp.float32))
+        scratch.append(pltpu.VMEM((nc, Bt, W), dtype))
 
     def call(llr_pad):  # (batch, nc*W), batch % Bt == 0
         batch = llr_pad.shape[0]
@@ -278,12 +286,20 @@ def decode(
     schedule: str = "layered",
     batch_tile: int = 0,
     interpret: bool = False,
+    message_dtype: str = "float32",
 ) -> DecodeResult:
     """BP decode of (..., num_cols*Z) LLRs fully in VMEM.
 
     schedule='layered' converges ~2x faster per iteration; 'flooding'
     reproduces the trajectory of ops.decoder_fast / MATLAB comm.LDPCDecoder
     (same algorithm, same syndrome-check points) at kernel speed.
+
+    message_dtype='bfloat16' keeps the decoder state (totals + check
+    messages) in bf16: half the VMEM, twice the codewords per tile, and
+    packed 16-bit VPU arithmetic.  Min-sum BLER impact is negligible (bf16
+    carries 8 mantissa bits; classic fixed-point LDPC decoders run at 6);
+    sum-product stays f32-only so its trajectory remains bit-exact vs the
+    XLA reference (the phi-domain clamps are tuned for f32).
     """
     if algorithm not in ALGORITHMS:
         raise ValueError(f"unsupported algorithm {algorithm}")
@@ -291,13 +307,22 @@ def decode(
         raise ValueError(f"unsupported schedule {schedule}")
     if not supports(params):
         raise ValueError(f"Z={params.Z_c} too small; use decoder_fast")
+    dtype = jnp.dtype(message_dtype)
+    if dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        raise ValueError(f"unsupported message_dtype {message_dtype}")
+    bf16 = dtype == jnp.dtype(jnp.bfloat16)
+    if bf16 and algorithm == "sum-product":
+        raise ValueError("sum-product requires message_dtype='float32'")
     if batch_tile <= 0:
-        batch_tile = FLOODING_BATCH_TILE if schedule == "flooding" else LAYERED_BATCH_TILE
+        if schedule == "flooding":
+            batch_tile = FLOODING_BATCH_TILE_BF16 if bf16 else FLOODING_BATCH_TILE
+        else:
+            batch_tile = LAYERED_BATCH_TILE_BF16 if bf16 else LAYERED_BATCH_TILE
     nc, Z = params.num_cols, params.Z_c
     W = _pad_width(Z)
     assert llr.shape[-1] == nc * Z
     batch_shape = llr.shape[:-1]
-    flat = llr.astype(jnp.float32).reshape(-1, nc, Z)
+    flat = llr.astype(dtype).reshape(-1, nc, Z)
     batch = flat.shape[0]
     if W != Z:
         flat = jnp.pad(
@@ -307,11 +332,11 @@ def decode(
     pad = (-batch) % batch_tile
     if pad:
         flat = jnp.concatenate(
-            [flat, jnp.full((pad, nc * W), _PAD_LLR, jnp.float32)], axis=0
+            [flat, jnp.full((pad, nc * W), _PAD_LLR, dtype)], axis=0
         )
 
     call = _build(params, iterations, algorithm, schedule, alpha, beta,
-                  batch_tile, interpret)
+                  batch_tile, interpret, dtype_name=jnp.dtype(dtype).name)
     bits, ok, iters = call(flat)
 
     bits = bits[:batch].reshape(batch, nc, W)[:, :, :Z]

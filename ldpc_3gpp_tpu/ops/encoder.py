@@ -205,7 +205,24 @@ def _parity_generator(params: LDPCParams) -> np.ndarray:
     return all_parity.astype(np.float32)
 
 
-def encode_mxu(params: LDPCParams, c: jax.Array) -> jax.Array:
+@functools.lru_cache(maxsize=2)
+def parity_generator_device(params: LDPCParams) -> jax.Array:
+    """``_parity_generator`` placed on the default device as bf16.
+
+    Materialised with ``jax.device_put`` outside any trace so the ~300 MB
+    matrix travels as a data transfer, not as a constant baked into the
+    compiled executable (remote-device transports reject oversized
+    programs).  Pass the result to ``encode_mxu``'s ``Gp`` argument when
+    calling it inside jit.
+    """
+    return jax.device_put(
+        jnp.asarray(_parity_generator(params), jnp.bfloat16)
+    )
+
+
+def encode_mxu(
+    params: LDPCParams, c: jax.Array, Gp: jax.Array | None = None
+) -> jax.Array:
     """MXU path: parity via one dense GF(2) matmul on the systolic array.
 
     Bit-identical to ``encode`` (H c = 0 has a unique parity completion) but
@@ -214,11 +231,14 @@ def encode_mxu(params: LDPCParams, c: jax.Array) -> jax.Array:
     the MXU accumulates in f32 (sums <= K = 8448 < 2^24).
 
     Trades HBM for speed: Gp is K x P bf16 (~300 MB for BG1 Z=384), cached
-    per config.
+    per config.  Inside jit, pass ``Gp=parity_generator_device(params)`` as
+    a traced argument so the matrix is not embedded as a program constant.
     """
     K = params.K
     assert c.shape[-1] == K
-    Gp = jnp.asarray(_parity_generator(params), jnp.bfloat16)
+    if Gp is None:
+        Gp = jnp.asarray(_parity_generator(params), jnp.bfloat16)
+    assert Gp.shape == (K, (params.num_cols - params.num_sys_cols) * params.Z_c)
     acc = jnp.matmul(
         c.astype(jnp.bfloat16), Gp, preferred_element_type=jnp.float32
     )

@@ -100,6 +100,35 @@ def test_padded_z_lane_wraparound():
     np.testing.assert_array_equal(np.asarray(r.bits), cw)
 
 
+def test_bf16_messages_decode():
+    """bf16 decoder state (message_dtype='bfloat16') still corrects noisy
+    codewords; it is a VMEM/throughput knob, not a semantics change."""
+    cw, llr = _noisy_llrs(P128, 8, 2.0, key=21)
+    r = jax.jit(
+        partial(decode_pallas, P128, iterations=15, interpret=True,
+                message_dtype="bfloat16")
+    )(llr)
+    assert np.asarray(r.parity_ok).all()
+    np.testing.assert_array_equal(np.asarray(r.bits), cw)
+    # padded-Z wraparound path in bf16 too
+    p = LDPCParams(BG=2, A=400, G=1200, Q_m=2)  # Z=52, W=128
+    cw, llr = _noisy_llrs(p, 4, 2.5, key=22)
+    r = jax.jit(
+        partial(decode_pallas, p, iterations=15, interpret=True,
+                message_dtype="bfloat16")
+    )(llr)
+    assert np.asarray(r.parity_ok).all()
+    np.testing.assert_array_equal(np.asarray(r.bits), cw)
+
+
+def test_bf16_rejects_sum_product():
+    with pytest.raises(ValueError):
+        decode_pallas(
+            P128, jnp.zeros((4, P128.num_cols * P128.Z_c)),
+            algorithm="sum-product", message_dtype="bfloat16",
+        )
+
+
 def test_rejects_tiny_z():
     p = LDPCParams(BG=2, A=20, G=60, Q_m=2)  # Z < 8
     assert p.Z_c < 8

@@ -59,6 +59,24 @@ def test_parity_all_lifting_sizes(bg):
     assert tested >= 40, f"only exercised {tested} lifting sizes"
 
 
+@pytest.mark.parametrize("bg", [1, 2])
+def test_encode_mxu_matches_rolls(bg):
+    """The dense-generator MXU path is bit-identical to the structured path,
+    both with the generator as a jit constant and as a traced argument
+    (the form that works over remote-device transports)."""
+    from ldpc_3gpp_tpu.ops.encoder import encode_mxu, parity_generator_device
+
+    p = LDPCParams(BG=bg, A=200, G=600, Q_m=2)
+    c = RNG.integers(0, 2, size=(4, p.K)).astype(np.uint8)
+    c[:, p.K_prime :] = 0
+    c = jnp.asarray(c)
+    ref = np.asarray(encode(p, c))
+    np.testing.assert_array_equal(np.asarray(encode_mxu(p, c)), ref)
+    Gp = parity_generator_device(p)
+    jitted = jax.jit(lambda cb, g: encode_mxu(p, cb, g))
+    np.testing.assert_array_equal(np.asarray(jitted(c, Gp)), ref)
+
+
 def test_syndrome_detects_corruption():
     p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
     c = RNG.integers(0, 2, size=(1, p.K)).astype(np.uint8)
