@@ -5,9 +5,10 @@ loop is ~99% of runtime).  Design:
 
 - **Layout**: lifting dimension Z on lanes (padded to W = ceil(Z/128)*128),
   a small batch tile Bt on sublanes.  Each kernel instance decodes Bt
-  codewords entirely in VMEM: posterior totals (num_cols, Bt, W) and
-  per-edge check messages (E, Bt, W), f32 — the whole decoder state lives
-  on-chip; HBM is touched once on the way in and once on the way out.
+  codewords entirely in VMEM: posterior totals (num_cols, Bt, W) f32 and
+  per-edge check messages (E, Bt, W) in f32 or bf16 (message_dtype) — the
+  whole decoder state lives on-chip; HBM is touched once on the way in and
+  once on the way out.
 - **Rotations**: every circulant P^s is a static lane roll of a (Bt, W)
   tile (pltpu.roll), unrolled per base-graph edge at trace time.  When
   Z == W a rotation is a single roll; otherwise two rolls + a lane select
@@ -48,7 +49,7 @@ from .decoder_fast import _row_plan
 
 LAYERED_BATCH_TILE = 16
 FLOODING_BATCH_TILE = 8  # flooding carries an extra (nc, Bt, W) accumulator
-# bf16 state halves VMEM: twice the codewords per tile for the same budget
+# bf16 message storage nearly halves VMEM: twice the codewords per tile
 LAYERED_BATCH_TILE_BF16 = 32
 FLOODING_BATCH_TILE_BF16 = 16
 _PAD_LLR = 1e9  # pad lanes decode to bit 0 and stay finite
@@ -102,10 +103,9 @@ def _sign(x):
 
 def _check_messages(v, algorithm, alpha, beta, Bt, W):
     """Extrinsic messages for one check row from its edge inputs ``v``."""
-    dtype = v[0].dtype
     if algorithm in ("min-sum", "offset-min-sum"):
         m1 = jnp.abs(v[0])
-        m2 = jnp.full((Bt, W), jnp.inf, dtype)
+        m2 = jnp.full((Bt, W), jnp.inf, jnp.float32)
         idx = jnp.zeros((Bt, W), jnp.int32)
         sprod = _sign(v[0])
         for i in range(1, len(v)):
@@ -156,7 +156,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
         c2v[...] = jnp.zeros((E, Bt, W), dtype)
         if Z != W:
             zlane = jax.lax.broadcasted_iota(jnp.int32, (Bt, W), 1)
-            valid = (zlane < Z).astype(jnp.float32)  # parity mask stays f32
+            valid = (zlane < Z).astype(jnp.float32)
         else:
             valid = None
 
@@ -172,7 +172,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
             sweep_ok = jnp.ones((Bt, 1), dtype=jnp.float32)
             if flooding:
                 for c in range(nc):
-                    acc[c] = jnp.zeros((Bt, W), dtype)
+                    acc[c] = jnp.zeros((Bt, W), jnp.float32)
             for r in range(nr):
                 edges = by_row[r]
                 t = [_roll_fwd(totals[c], s, Z, W) for (_, c, s) in edges]
@@ -186,10 +186,13 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                 row_ok = 1.0 - jnp.max(bad, axis=1, keepdims=True)  # (Bt, 1)
                 sweep_ok = sweep_ok * row_ok
 
-                v = [te - c2v[e] for te, (e, _, _) in zip(t, edges)]
+                v = [
+                    te - c2v[e].astype(jnp.float32)
+                    for te, (e, _, _) in zip(t, edges)
+                ]
                 nm = _check_messages(v, algorithm, alpha, beta, Bt, W)
                 for i, (ve, (e, c, s)) in enumerate(zip(v, edges)):
-                    c2v[e] = jnp.where(keep, c2v[e], nm[i])
+                    c2v[e] = jnp.where(keep, c2v[e], nm[i].astype(dtype))
                     if flooding:
                         acc[c] = acc[c] + _roll_bwd(nm[i], s, Z, W)
                     else:
@@ -242,11 +245,11 @@ def _build(params: LDPCParams, iterations: int, algorithm: str, schedule: str,
     flooding = schedule == "flooding"
 
     scratch = [
-        pltpu.VMEM((nc, Bt, W), dtype),
-        pltpu.VMEM((E, Bt, W), dtype),
+        pltpu.VMEM((nc, Bt, W), jnp.float32),  # totals: always f32
+        pltpu.VMEM((E, Bt, W), dtype),  # check messages: the storage knob
     ]
     if flooding:
-        scratch.append(pltpu.VMEM((nc, Bt, W), dtype))
+        scratch.append(pltpu.VMEM((nc, Bt, W), jnp.float32))
 
     def call(llr_pad):  # (batch, nc*W), batch % Bt == 0
         batch = llr_pad.shape[0]
@@ -294,12 +297,14 @@ def decode(
     reproduces the trajectory of ops.decoder_fast / MATLAB comm.LDPCDecoder
     (same algorithm, same syndrome-check points) at kernel speed.
 
-    message_dtype='bfloat16' keeps the decoder state (totals + check
-    messages) in bf16: half the VMEM, twice the codewords per tile, and
-    packed 16-bit VPU arithmetic.  Min-sum BLER impact is negligible (bf16
-    carries 8 mantissa bits; classic fixed-point LDPC decoders run at 6);
-    sum-product stays f32-only so its trajectory remains bit-exact vs the
-    XLA reference (the phi-domain clamps are tuned for f32).
+    message_dtype='bfloat16' stores the per-edge check messages (the
+    dominant VMEM buffer: E of the E+nc state tiles) in bf16, doubling the
+    codewords per tile; arithmetic stays f32 (measured on v5e: bf16 VPU ops
+    run at f32 rate, so packed compute buys nothing, and Mosaic rejects
+    16-bit compare-selects anyway — messages are only rounded on store).
+    Min-sum BLER impact is negligible (bf16 carries 8 mantissa bits;
+    classic fixed-point LDPC decoders run at 6); sum-product stays
+    f32-only so its trajectory remains bit-exact vs the XLA reference.
     """
     if algorithm not in ALGORITHMS:
         raise ValueError(f"unsupported algorithm {algorithm}")
@@ -322,7 +327,7 @@ def decode(
     W = _pad_width(Z)
     assert llr.shape[-1] == nc * Z
     batch_shape = llr.shape[:-1]
-    flat = llr.astype(dtype).reshape(-1, nc, Z)
+    flat = llr.astype(jnp.float32).reshape(-1, nc, Z)
     batch = flat.shape[0]
     if W != Z:
         flat = jnp.pad(
@@ -332,7 +337,7 @@ def decode(
     pad = (-batch) % batch_tile
     if pad:
         flat = jnp.concatenate(
-            [flat, jnp.full((pad, nc * W), _PAD_LLR, dtype)], axis=0
+            [flat, jnp.full((pad, nc * W), _PAD_LLR, jnp.float32)], axis=0
         )
 
     call = _build(params, iterations, algorithm, schedule, alpha, beta,
