@@ -23,18 +23,21 @@ import jax.numpy as jnp
 from ..ops.crc import crc_check
 from ..ops.decoder import decode as bp_decode_ref
 from ..ops.decoder_fast import decode as bp_decode_fast
+from ..ops.decoder_layered import decode as bp_decode_layered
 from ..ops import decoder_pallas
 from ..ops.rate_match import accumulate_llrs, deinterleave
 from ..spec.params import LDPCParams
 
 
-def _drop_schedule(fn):
-    """Adapter for flooding-only XLA backends: accept and check `schedule`."""
+def _drop_schedule(fn, layered_fn=None):
+    """Adapter for XLA backends: dispatch on `schedule`, drop the kwarg."""
 
     def wrapped(params, llr, *, schedule="flooding", **kw):
-        if schedule != "flooding":
-            raise ValueError(f"backend implements flooding only, got {schedule}")
-        return fn(params, llr, **kw)
+        if schedule == "flooding":
+            return fn(params, llr, **kw)
+        if schedule == "layered" and layered_fn is not None:
+            return layered_fn(params, llr, **kw)
+        raise ValueError(f"backend does not implement schedule {schedule!r}")
 
     return wrapped
 
@@ -48,22 +51,22 @@ def _bp_decode_auto(params, llr, *, algorithm, schedule="layered", **kw):
         return decoder_pallas.decode(
             params, llr, algorithm=algorithm, schedule=schedule, **kw
         )
-    if schedule != "flooding" and not on_tpu:
-        # CPU fallback implements flooding only; layered is a TPU-kernel luxury
-        schedule = "flooding"
     kw.pop("message_dtype", None)  # perf knob of the kernel, not semantics
+    if schedule == "layered":
+        return bp_decode_layered(params, llr, algorithm=algorithm, **kw)
     return bp_decode_fast(params, llr, algorithm=algorithm, **kw)
 
 
 # BP decoder implementations:
 #   'auto'      — pallas kernel (layered or flooding) on TPU, else 'fast'
 #   'pallas'    — VMEM-resident TPU kernel: SP/NMS/OMS x layered/flooding
-#   'fast'      — flooding, static-roll XLA path (bit-exact vs 'reference')
+#   'fast'      — static-roll XLA path: flooding (bit-exact vs 'reference')
+#                 or layered (ops/decoder_layered.py, the kernel's oracle)
 #   'reference' — flooding, segment-op oracle (ops/decoder.py)
 DECODE_BACKENDS = {
     "auto": _bp_decode_auto,
     "pallas": decoder_pallas.decode,
-    "fast": _drop_schedule(bp_decode_fast),
+    "fast": _drop_schedule(bp_decode_fast, bp_decode_layered),
     "reference": _drop_schedule(bp_decode_ref),
 }
 

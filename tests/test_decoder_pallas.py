@@ -100,6 +100,32 @@ def test_padded_z_lane_wraparound():
     np.testing.assert_array_equal(np.asarray(r.bits), cw)
 
 
+@pytest.mark.parametrize("algorithm", ["min-sum", "sum-product"])
+def test_layered_schedule_bit_exact_vs_xla_layered(algorithm):
+    """kernel(schedule='layered') must reproduce the XLA layered oracle
+    (ops/decoder_layered.py) exactly: same bits, parity flags, and
+    per-codeword sweep counts — the layered analogue of the flooding
+    bit-exactness test against decoder_fast."""
+    from ldpc_3gpp_tpu.ops.decoder_layered import decode as decode_layered
+
+    for p, key in ((P128, 31), (LDPCParams(BG=2, A=400, G=1200, Q_m=2), 32)):
+        cw, llr = _noisy_llrs(p, 16, 1.0, key=key)
+        rk = jax.jit(
+            partial(decode_pallas, p, iterations=12, algorithm=algorithm,
+                    schedule="layered", interpret=True)
+        )(llr)
+        rx = jax.jit(
+            partial(decode_layered, p, iterations=12, algorithm=algorithm)
+        )(llr)
+        np.testing.assert_array_equal(np.asarray(rk.bits), np.asarray(rx.bits))
+        np.testing.assert_array_equal(
+            np.asarray(rk.parity_ok), np.asarray(rx.parity_ok)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rk.iterations), np.asarray(rx.iterations)
+        )
+
+
 def test_bf16_messages_decode():
     """bf16 decoder state (message_dtype='bfloat16') still corrects noisy
     codewords; it is a VMEM/throughput knob, not a semantics change."""
