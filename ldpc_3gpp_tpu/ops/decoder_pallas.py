@@ -74,33 +74,48 @@ def _pad_width(Z: int) -> int:
     return -(-Z // 128) * 128
 
 
-def _roll_fwd(x, s, Z, W):
-    """variable->check coords: out[z] = x[(z+s) % Z] for z < Z."""
+def _roll_fwd(x, s, Z, W, phase=None):
+    """variable->check coords: out[z] = x[(z+s) % Z] per mod-Z segment.
+
+    ``phase=None`` (unpacked): one segment at lanes [0, Z), pad above.
+    ``phase`` = lane%Z (packed): P = W//Z independent codeword segments at
+    lanes [k*Z, (k+1)*Z) rotate simultaneously — the two rolls read only
+    in-segment lanes for every valid output lane, so one pair of rolls
+    serves all P codewords.
+    """
     s = s % Z
     if s == 0:
         return x
     if Z == W:
         return pltpu.roll(x, W - s, 1)
-    # u[z] = x[z+s]   valid for z < Z-s
-    # v[z] = x[z+s-Z] valid for Z-s <= z < Z
+    # u[z] = x[z+s]   valid for (z % Z) < Z-s
+    # v[z] = x[z+s-Z] valid for Z-s <= (z % Z) < Z
     u = pltpu.roll(x, W - s, 1)
     v = pltpu.roll(x, (W - s + Z) % W, 1)
-    z = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    z = (
+        jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        if phase is None
+        else phase
+    )
     return jnp.where(z < Z - s, u, v)
 
 
-def _roll_bwd(x, s, Z, W):
-    """check->variable coords: out[z] = x[(z-s) % Z] for z < Z."""
+def _roll_bwd(x, s, Z, W, phase=None):
+    """check->variable coords: out[z] = x[(z-s) % Z] per mod-Z segment."""
     s = s % Z
     if s == 0:
         return x
     if Z == W:
         return pltpu.roll(x, s, 1)
-    # u[z] = x[z-s]   valid for z >= s
-    # v[z] = x[z-s+Z] valid for z < s
+    # u[z] = x[z-s]   valid for (z % Z) >= s
+    # v[z] = x[z-s+Z] valid for (z % Z) < s
     u = pltpu.roll(x, s, 1)
     v = pltpu.roll(x, (s - Z) % W, 1)
-    z = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    z = (
+        jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        if phase is None
+        else phase
+    )
     return jnp.where(z >= s, u, v)
 
 
@@ -153,7 +168,7 @@ def _check_messages(v, algorithm, alpha, beta, Bt, W):
 
 def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                  schedule: str, alpha: float, beta: float, Bt: int,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, P: int = 1):
     by_row, _ = _row_plan(params)
     nc, nr, Z = params.num_cols, params.num_rows, params.Z_c
     W = _pad_width(Z)
@@ -185,40 +200,57 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
             deltas.append(row_d)
         assert state == col_shift  # sweep maps the rest state to itself
 
+    packed = P > 1
+
     def kernel(llr_ref, bits_ref, ok_ref, it_ref, totals, c2v, *acc_scratch):
         acc = acc_scratch[0] if flooding else None
+        if packed:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, W), 1)
+            phase = lane % Z
+            valid = (lane < P * Z).astype(jnp.float32) if P * Z < W else None
+        else:
+            phase = None
+            if Z != W:
+                zlane = jax.lax.broadcasted_iota(jnp.int32, (Bt, W), 1)
+                valid = (zlane < Z).astype(jnp.float32)
+            else:
+                valid = None
         # Channel LLRs arrive already padded to (Bt, nc*W); load per column
         # (layered: pre-rotated to each column's rest coordinates).
         for c in range(nc):
             col = llr_ref[:, c * W : (c + 1) * W]
-            totals[c] = _roll_fwd(col, col_shift.get(c, 0), Z, W)
+            totals[c] = _roll_fwd(col, col_shift.get(c, 0), Z, W, phase)
         c2v[...] = jnp.zeros((E, Bt, W), dtype)
-        if Z != W:
-            zlane = jax.lax.broadcasted_iota(jnp.int32, (Bt, W), 1)
-            valid = (zlane < Z).astype(jnp.float32)
-        else:
-            valid = None
 
         def sweep(carry):
             # done/sweep_ok/used carried as f32 — Mosaic cannot carry i1
-            # vectors through scf.while.
+            # vectors through scf.while.  Packed tiles (P > 1) carry them
+            # per LANE (uniform within each codeword's Z-segment) instead
+            # of per sublane row, so every packed codeword still freezes,
+            # counts, and reports individually.
             it, done, used = carry
             # Freeze finished codewords, and ALL updates on the final pass
             # (it == iterations), which exists only to check the syndrome of
             # the last permitted update — never-converged codewords must end
             # on exactly `iterations` updates (matches ops/decoder*.py).
-            keep = jnp.logical_or(done > 0.5, it >= iterations)  # (Bt, 1)
-            sweep_ok = jnp.ones((Bt, 1), dtype=jnp.float32)
+            keep = jnp.logical_or(done > 0.5, it >= iterations)
+            if packed:
+                bad_acc = jnp.zeros((Bt, W), jnp.float32)
+            else:
+                sweep_ok = jnp.ones((Bt, 1), dtype=jnp.float32)
             if flooding:
                 for c in range(nc):
                     acc[c] = jnp.zeros((Bt, W), jnp.float32)
             for r in range(nr):
                 edges = by_row[r]
                 if flooding:
-                    t = [_roll_fwd(totals[c], s, Z, W) for (_, c, s) in edges]
+                    t = [
+                        _roll_fwd(totals[c], s, Z, W, phase)
+                        for (_, c, s) in edges
+                    ]
                 else:
                     t = [
-                        _roll_fwd(totals[c], d, Z, W)
+                        _roll_fwd(totals[c], d, Z, W, phase)
                         for (_, c, _), d in zip(edges, deltas[r])
                     ]
                 # on-the-fly parity of current totals (early termination)
@@ -228,8 +260,11 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                 bad = jnp.where(par, 1.0, 0.0)
                 if valid is not None:
                     bad = bad * valid  # ignore pad lanes
-                row_ok = 1.0 - jnp.max(bad, axis=1, keepdims=True)  # (Bt, 1)
-                sweep_ok = sweep_ok * row_ok
+                if packed:
+                    bad_acc = jnp.maximum(bad_acc, bad)
+                else:
+                    row_ok = 1.0 - jnp.max(bad, axis=1, keepdims=True)
+                    sweep_ok = sweep_ok * row_ok
 
                 v = [
                     te - c2v[e].astype(jnp.float32)
@@ -239,11 +274,21 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                 for i, (ve, (e, c, s)) in enumerate(zip(v, edges)):
                     c2v[e] = jnp.where(keep, c2v[e], nm[i].astype(dtype))
                     if flooding:
-                        acc[c] = acc[c] + _roll_bwd(nm[i], s, Z, W)
+                        acc[c] = acc[c] + _roll_bwd(nm[i], s, Z, W, phase)
                     else:
                         # layered in-place update, left in this row's coords
                         totals[c] = jnp.where(keep, t[i], ve + nm[i])
-            newly = jnp.maximum(done, sweep_ok) - done  # (Bt, 1) {0,1}
+            if packed:
+                # segment-local all-reduce: after ceil(log2 Z) doubling
+                # rotations every lane holds its codeword's max violation
+                d = 1
+                while d < Z:
+                    bad_acc = jnp.maximum(
+                        bad_acc, _roll_bwd(bad_acc, d, Z, W, phase)
+                    )
+                    d *= 2
+                sweep_ok = 1.0 - bad_acc  # (Bt, W)
+            newly = jnp.maximum(done, sweep_ok) - done  # {0,1}
             if flooding:
                 # A codeword whose syndrome passed THIS sweep keeps its
                 # pre-update totals (matches decoder_fast's latch: the output
@@ -261,16 +306,21 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
             it, done, _ = carry
             return (it <= iterations) & (jnp.min(done) < 0.5)
 
-        done0 = jnp.zeros((Bt, 1), dtype=jnp.float32)
+        if packed and valid is not None:
+            done0 = 1.0 - valid  # idle lanes never gate the exit
+        elif packed:
+            done0 = jnp.zeros((Bt, W), jnp.float32)
+        else:
+            done0 = jnp.zeros((Bt, 1), jnp.float32)
         it_final, done, used = jax.lax.while_loop(
-            cond, sweep, (jnp.asarray(0, jnp.int32), done0, done0)
+            cond, sweep, (jnp.asarray(0, jnp.int32), done0, done0 * 0.0)
         )
         # codewords never done used the full budget
         used = jnp.where(done > 0.5, used, float(iterations))
 
         for c in range(nc):
             # layered: rotate each column back from its rest coordinates
-            val = _roll_bwd(totals[c], col_shift.get(c, 0), Z, W)
+            val = _roll_bwd(totals[c], col_shift.get(c, 0), Z, W, phase)
             bits_ref[:, c * W : (c + 1) * W] = (val < 0.0).astype(jnp.int8)
         ok_ref[...] = done.astype(jnp.int32)
         it_ref[...] = used.astype(jnp.int32)
@@ -281,14 +331,15 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
 @functools.lru_cache(maxsize=None)
 def _build(params: LDPCParams, iterations: int, algorithm: str, schedule: str,
            alpha: float, beta: float, Bt: int, interpret: bool = False,
-           dtype_name: str = "float32"):
+           dtype_name: str = "float32", P: int = 1):
     nc, Z = params.num_cols, params.Z_c
     W = _pad_width(Z)
     E = len(params.edges[0])
     dtype = jnp.dtype(dtype_name)
     kernel = _make_kernel(params, iterations, algorithm, schedule, alpha, beta,
-                          Bt, dtype)
+                          Bt, dtype, P)
     flooding = schedule == "flooding"
+    outw = W if P > 1 else 1  # per-lane flags for packed tiles
 
     scratch = [
         pltpu.VMEM((nc, Bt, W), jnp.float32),  # totals: always f32
@@ -308,13 +359,13 @@ def _build(params: LDPCParams, iterations: int, algorithm: str, schedule: str,
             ],
             out_specs=(
                 pl.BlockSpec((Bt, nc * W), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((Bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((Bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Bt, outw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Bt, outw), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((batch, nc * W), jnp.int8),
-                jax.ShapeDtypeStruct((batch, 1), jnp.int32),
-                jax.ShapeDtypeStruct((batch, 1), jnp.int32),
+                jax.ShapeDtypeStruct((batch, outw), jnp.int32),
+                jax.ShapeDtypeStruct((batch, outw), jnp.int32),
             ),
             scratch_shapes=scratch,
             interpret=interpret,
@@ -336,6 +387,7 @@ def decode(
     batch_tile: int = 0,
     interpret: bool = False,
     message_dtype: str = "float32",
+    lane_pack: int = 0,
 ) -> DecodeResult:
     """BP decode of (..., num_cols*Z) LLRs fully in VMEM.
 
@@ -351,6 +403,14 @@ def decode(
     Min-sum BLER impact is negligible (bf16 carries 8 mantissa bits;
     classic fixed-point LDPC decoders run at 6); sum-product stays
     f32-only so its trajectory remains bit-exact vs the XLA reference.
+
+    lane_pack: codewords packed side by side along the 128 lanes when
+    Z < 128 — P = W//Z codewords share each (Bt, W) tile as independent
+    mod-Z segments (0 = that automatic choice, 1 = off, n = explicit).
+    Rolls act segment-locally (same two-roll+select as the pad path, with
+    a lane%Z phase mask), and freeze/termination masks are per lane, so
+    packed decoding is bit-identical per codeword to unpacked — it just
+    stops wasting 1 - Z/128 of every vector register at small Z.
     """
     if algorithm not in ALGORITHMS:
         raise ValueError(f"unsupported algorithm {algorithm}")
@@ -371,29 +431,60 @@ def decode(
             batch_tile = LAYERED_BATCH_TILE_BF16 if bf16 else LAYERED_BATCH_TILE
     nc, Z = params.num_cols, params.Z_c
     W = _pad_width(Z)
+    P = (W // Z) if lane_pack == 0 else lane_pack
+    if not 1 <= P <= W // Z:
+        raise ValueError(f"lane_pack={lane_pack} invalid for Z={Z} (max {W // Z})")
     assert llr.shape[-1] == nc * Z
     batch_shape = llr.shape[:-1]
     flat = llr.astype(jnp.float32).reshape(-1, nc, Z)
     batch = flat.shape[0]
-    if W != Z:
-        flat = jnp.pad(
-            flat, ((0, 0), (0, 0), (0, W - Z)), constant_values=_PAD_LLR
-        )
+    if P > 1:
+        # pack P codewords side by side on the lane axis
+        padb = (-batch) % P
+        if padb:
+            flat = jnp.concatenate(
+                [flat, jnp.full((padb, nc, Z), _PAD_LLR, jnp.float32)], axis=0
+            )
+        nb = (batch + padb) // P
+        flat = flat.reshape(nb, P, nc, Z).swapaxes(1, 2).reshape(nb, nc, P * Z)
+        if P * Z < W:
+            flat = jnp.pad(
+                flat, ((0, 0), (0, 0), (0, W - P * Z)), constant_values=_PAD_LLR
+            )
+    else:
+        nb = batch
+        if W != Z:
+            flat = jnp.pad(
+                flat, ((0, 0), (0, 0), (0, W - Z)), constant_values=_PAD_LLR
+            )
     flat = flat.reshape(-1, nc * W)
-    pad = (-batch) % batch_tile
+    pad = (-nb) % batch_tile
     if pad:
         flat = jnp.concatenate(
             [flat, jnp.full((pad, nc * W), _PAD_LLR, jnp.float32)], axis=0
         )
 
     call = _build(params, iterations, algorithm, schedule, alpha, beta,
-                  batch_tile, interpret, dtype_name=jnp.dtype(dtype).name)
+                  batch_tile, interpret, dtype_name=jnp.dtype(dtype).name, P=P)
     bits, ok, iters = call(flat)
 
-    bits = bits[:batch].reshape(batch, nc, W)[:, :, :Z]
+    if P > 1:
+        bits = bits[:nb].reshape(nb, nc, W)[:, :, : P * Z]
+        bits = (
+            bits.reshape(nb, nc, P, Z).swapaxes(1, 2).reshape(nb * P, nc * Z)
+        )[:batch]
+        # per-lane flags are uniform within a segment: read lane k*Z
+        ok = ok[:nb, : P * Z].reshape(nb, P, Z)[:, :, 0].reshape(nb * P)[:batch]
+        iters = (
+            iters[:nb, : P * Z].reshape(nb, P, Z)[:, :, 0].reshape(nb * P)
+        )[:batch]
+    else:
+        bits = bits[:batch].reshape(batch, nc, W)[:, :, :Z].reshape(batch, nc * Z)
+        ok = ok[:batch, 0]
+        iters = iters[:batch, 0]
     bits = bits.reshape(batch_shape + (nc * Z,))
-    ok = ok[:batch, 0].astype(bool).reshape(batch_shape)
-    iters = iters[:batch, 0].reshape(batch_shape)
+    ok = ok.astype(bool).reshape(batch_shape)
+    iters = iters.reshape(batch_shape)
     if not early_termination:
         # the kernel always terminates early; report the full budget
         iters = jnp.full(batch_shape, iterations, jnp.int32)

@@ -155,6 +155,36 @@ def test_bf16_rejects_sum_product():
         )
 
 
+def test_lane_packing_matches_unpacked():
+    """Packed small-Z decoding (P codewords per 128-lane tile) is
+    bit-identical, codeword for codeword, to lane_pack=1 — including
+    parity flags, per-codeword iteration counts, and odd batch sizes."""
+    for p, batch in (
+        (LDPCParams(BG=2, A=400, G=1200, Q_m=2), 7),   # Z=52,  P=2
+        (LDPCParams(BG=2, A=32, G=96, Q_m=2), 11),     # Z=8,   P=16
+    ):
+        assert 128 // p.Z_c > 1
+        cw, llr = _noisy_llrs(p, batch, 2.5, key=41 + p.Z_c)
+        packed = jax.jit(
+            partial(decode_pallas, p, iterations=15, interpret=True)
+        )(llr)
+        unpacked = jax.jit(
+            partial(decode_pallas, p, iterations=15, interpret=True,
+                    lane_pack=1)
+        )(llr)
+        np.testing.assert_array_equal(
+            np.asarray(packed.bits), np.asarray(unpacked.bits)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(packed.parity_ok), np.asarray(unpacked.parity_ok)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(packed.iterations), np.asarray(unpacked.iterations)
+        )
+        assert np.asarray(packed.parity_ok).all()
+        np.testing.assert_array_equal(np.asarray(packed.bits), cw)
+
+
 def test_rejects_tiny_z():
     p = LDPCParams(BG=2, A=20, G=60, Q_m=2)  # Z < 8
     assert p.Z_c < 8
