@@ -204,6 +204,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
 
     def kernel(llr_ref, bits_ref, ok_ref, it_ref, totals, c2v, *acc_scratch):
         acc = acc_scratch[0] if flooding else None
+        out_vals = None if flooding else acc_scratch[0]
         if packed:
             lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, W), 1)
             phase = lane % Z
@@ -220,7 +221,36 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
         for c in range(nc):
             col = llr_ref[:, c * W : (c + 1) * W]
             totals[c] = _roll_fwd(col, col_shift.get(c, 0), Z, W, phase)
+            if not flooding:
+                # iterations == 0 must output the channel hard decision
+                out_vals[c] = totals[c]
         c2v[...] = jnp.zeros((E, Bt, W), dtype)
+
+        def row_parity(t, sweep_ok, bad_acc):
+            """Fold one row's sign-parity into the sweep accumulator."""
+            par = t[0] < 0.0
+            for te in t[1:]:
+                par = par ^ (te < 0.0)
+            bad = jnp.where(par, 1.0, 0.0)
+            if valid is not None:
+                bad = bad * valid  # ignore pad lanes
+            if packed:
+                return sweep_ok, jnp.maximum(bad_acc, bad)
+            row_ok = 1.0 - jnp.max(bad, axis=1, keepdims=True)
+            return sweep_ok * row_ok, bad_acc
+
+        def reduce_ok(sweep_ok, bad_acc):
+            if not packed:
+                return sweep_ok
+            # segment-local all-reduce: after ceil(log2 Z) doubling
+            # rotations every lane holds its codeword's max violation
+            d = 1
+            while d < Z:
+                bad_acc = jnp.maximum(
+                    bad_acc, _roll_bwd(bad_acc, d, Z, W, phase)
+                )
+                d *= 2
+            return 1.0 - bad_acc  # (Bt, W)
 
         def sweep(carry):
             # done/sweep_ok/used carried as f32 — Mosaic cannot carry i1
@@ -229,16 +259,14 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
             # of per sublane row, so every packed codeword still freezes,
             # counts, and reports individually.
             it, done, used = carry
-            # Freeze finished codewords, and ALL updates on the final pass
-            # (it == iterations), which exists only to check the syndrome of
-            # the last permitted update — never-converged codewords must end
-            # on exactly `iterations` updates (matches ops/decoder*.py).
-            keep = jnp.logical_or(done > 0.5, it >= iterations)
-            if packed:
-                bad_acc = jnp.zeros((Bt, W), jnp.float32)
-            else:
-                sweep_ok = jnp.ones((Bt, 1), dtype=jnp.float32)
+            bad_acc = jnp.zeros((Bt, W), jnp.float32)
+            sweep_ok = jnp.ones((Bt, 1), dtype=jnp.float32)
             if flooding:
+                # Flooding freezes finished codewords (and all updates on
+                # the final pass it == iterations, which exists only to
+                # check the syndrome of the last permitted update) so its
+                # trajectory matches ops/decoder_fast sweep for sweep.
+                keep = jnp.logical_or(done > 0.5, it >= iterations)
                 for c in range(nc):
                     acc[c] = jnp.zeros((Bt, W), jnp.float32)
             for r in range(nr):
@@ -254,17 +282,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                         for (_, c, _), d in zip(edges, deltas[r])
                     ]
                 # on-the-fly parity of current totals (early termination)
-                par = t[0] < 0.0
-                for te in t[1:]:
-                    par = par ^ (te < 0.0)
-                bad = jnp.where(par, 1.0, 0.0)
-                if valid is not None:
-                    bad = bad * valid  # ignore pad lanes
-                if packed:
-                    bad_acc = jnp.maximum(bad_acc, bad)
-                else:
-                    row_ok = 1.0 - jnp.max(bad, axis=1, keepdims=True)
-                    sweep_ok = sweep_ok * row_ok
+                sweep_ok, bad_acc = row_parity(t, sweep_ok, bad_acc)
 
                 v = [
                     te - c2v[e].astype(jnp.float32)
@@ -272,22 +290,19 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                 ]
                 nm = _check_messages(v, algorithm, alpha, beta, Bt, W)
                 for i, (ve, (e, c, s)) in enumerate(zip(v, edges)):
-                    c2v[e] = jnp.where(keep, c2v[e], nm[i].astype(dtype))
                     if flooding:
+                        c2v[e] = jnp.where(keep, c2v[e], nm[i].astype(dtype))
                         acc[c] = acc[c] + _roll_bwd(nm[i], s, Z, W, phase)
                     else:
-                        # layered in-place update, left in this row's coords
-                        totals[c] = jnp.where(keep, t[i], ve + nm[i])
-            if packed:
-                # segment-local all-reduce: after ceil(log2 Z) doubling
-                # rotations every lane holds its codeword's max violation
-                d = 1
-                while d < Z:
-                    bad_acc = jnp.maximum(
-                        bad_acc, _roll_bwd(bad_acc, d, Z, W, phase)
-                    )
-                    d *= 2
-                sweep_ok = 1.0 - bad_acc  # (Bt, W)
+                        # Layered: updates run unfrozen — finished codewords
+                        # keep evolving harmlessly while their OUTPUT was
+                        # latched in out_vals the sweep they converged, so
+                        # no per-edge freeze selects are needed (the freeze
+                        # cost 2 selects/edge; the latch costs 1 select per
+                        # COLUMN per sweep).
+                        c2v[e] = nm[i].astype(dtype)
+                        totals[c] = ve + nm[i]
+            sweep_ok = reduce_ok(sweep_ok, bad_acc)
             newly = jnp.maximum(done, sweep_ok) - done  # {0,1}
             if flooding:
                 # A codeword whose syndrome passed THIS sweep keeps its
@@ -298,13 +313,24 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                 for c in range(nc):
                     new_t = llr_ref[:, c * W : (c + 1) * W] + acc[c]
                     totals[c] = jnp.where(keep_out, totals[c], new_t)
+            else:
+                # Latch the output state of every not-yet-done codeword (in
+                # rest coordinates — the sweep ends there).  A codeword that
+                # converged THIS sweep keeps exactly its converging state; a
+                # codeword that never converges is last latched after sweep
+                # `iterations - 1`, i.e. exactly `iterations` updates
+                # (matches ops/decoder_layered.py).
+                notdone = done < 0.5
+                for c in range(nc):
+                    out_vals[c] = jnp.where(notdone, totals[c], out_vals[c])
             used = used + newly * it.astype(jnp.float32)
             done = jnp.maximum(done, sweep_ok)
             return it + 1, done, used
 
         def cond(carry):
             it, done, _ = carry
-            return (it <= iterations) & (jnp.min(done) < 0.5)
+            limit = iterations if flooding else iterations - 1
+            return (it <= limit) & (jnp.min(done) < 0.5)
 
         if packed and valid is not None:
             done0 = 1.0 - valid  # idle lanes never gate the exit
@@ -317,13 +343,40 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
         )
         # codewords never done used the full budget
         used = jnp.where(done > 0.5, used, float(iterations))
-
-        for c in range(nc):
-            # layered: rotate each column back from its rest coordinates
-            val = _roll_bwd(totals[c], col_shift.get(c, 0), Z, W, phase)
-            bits_ref[:, c * W : (c + 1) * W] = (val < 0.0).astype(jnp.int8)
-        ok_ref[...] = done.astype(jnp.int32)
         it_ref[...] = used.astype(jnp.int32)
+
+        if flooding:
+            for c in range(nc):
+                bits_ref[:, c * W : (c + 1) * W] = (
+                    totals[c] < 0.0
+                ).astype(jnp.int8)
+            ok_ref[...] = done.astype(jnp.int32)
+        else:
+            for c in range(nc):
+                # rotate each column back from its rest coordinates
+                val = _roll_bwd(out_vals[c], col_shift.get(c, 0), Z, W, phase)
+                bits_ref[:, c * W : (c + 1) * W] = (val < 0.0).astype(jnp.int8)
+            ok_ref[...] = done.astype(jnp.int32)
+
+            # Stragglers got their `iterations`-th update during the last
+            # sweep, whose on-the-fly parity saw a half-updated state; give
+            # the settled state one clean syndrome check (this replaces the
+            # old scheme's extra fully-frozen sweep — parity only, no
+            # message math).  Tiles that converged early skip it entirely.
+            @pl.when(jnp.min(done) < 0.5)
+            def _final_syndrome():
+                bad_acc = jnp.zeros((Bt, W), jnp.float32)
+                sweep_ok = jnp.ones((Bt, 1), dtype=jnp.float32)
+                for r in range(nr):
+                    t = [
+                        _roll_fwd(
+                            totals[c], (s - col_shift[c]) % Z, Z, W, phase
+                        )
+                        for (_, c, s) in by_row[r]
+                    ]
+                    sweep_ok, bad_acc = row_parity(t, sweep_ok, bad_acc)
+                sweep_ok = reduce_ok(sweep_ok, bad_acc)
+                ok_ref[...] = jnp.maximum(done, sweep_ok).astype(jnp.int32)
 
     return kernel
 
@@ -344,9 +397,9 @@ def _build(params: LDPCParams, iterations: int, algorithm: str, schedule: str,
     scratch = [
         pltpu.VMEM((nc, Bt, W), jnp.float32),  # totals: always f32
         pltpu.VMEM((E, Bt, W), dtype),  # check messages: the storage knob
+        # flooding: deferred-update accumulator; layered: latched output state
+        pltpu.VMEM((nc, Bt, W), jnp.float32),
     ]
-    if flooding:
-        scratch.append(pltpu.VMEM((nc, Bt, W), jnp.float32))
 
     def call(llr_pad):  # (batch, nc*W), batch % Bt == 0
         batch = llr_pad.shape[0]
