@@ -1,18 +1,22 @@
-"""Rate matching (TS38.212 Sections 5.4.2.1-5.4.2.2) as static gathers.
+"""Rate matching (TS38.212 Sections 5.4.2.1-5.4.2.2) without gathers.
 
 The reference implements bit selection as a per-bit ``while`` loop that walks
 the circular buffer skipping NaN filler positions (NRLDPCEncoder.m:187-195,
 NRLDPCDecoder.m:226-234).  Filler positions are statically known from the
-code parameters, so the whole loop collapses at trace time into a precomputed
-index vector:
+code parameters AND contiguous (one range [lo, hi) inside d), so the walk is
+affine piecewise: one cycle of the buffer emits the non-filler positions
+``[0, lo) ++ [hi, N_cb)`` rotated to start at k_0.  That makes both
+directions compositions of static slices, concats, and rolls — zero gathers,
+zero scatters (TPU gathers run ~elementwise-serial; slices/rolls are full
+bandwidth):
 
-- encoder: ``e = d[..., idx]``  (one gather)
-- decoder: the index vector is ``tile(cycle, reps)[:E]`` for one fixed cycle
-  of non-filler buffer positions, so the scatter-add the reference implies
-  (NRLDPCDecoder.m:228-234) factors into a reshape+sum over the repetition
-  axis (the LLR Chase combining) followed by a static inverse-permutation
-  gather — XLA scatters serialize on TPU, gathers vectorize.
+- encoder:  e = tile(roll(concat(d[:lo], d[hi:N_cb]), -r), reps)[:E]
+- decoder:  the scatter-add the reference implies (NRLDPCDecoder.m:228-234)
+  is a reshape+sum over the repetition axis (the LLR Chase combining), the
+  inverse roll, and re-inserting zeros for the filler hole and the
+  never-transmitted tail.
 
+``selection_indices`` (the explicit index vector) is kept as the test oracle.
 The Section 5.4.2.2 bit interleaver is a reshape/transpose.
 """
 from __future__ import annotations
@@ -62,53 +66,72 @@ def deinterleave(f: jax.Array, Q_m: int) -> jax.Array:
     return jnp.swapaxes(cols, -1, -2).reshape(f.shape[:-1] + (E,))
 
 
-def select_bits(params: LDPCParams, d: jax.Array, E: int) -> jax.Array:
-    """Encoder bit selection: d (..., N) -> e (..., E)."""
-    idx = jnp.asarray(selection_indices(params, E))
-    return jnp.take(d, idx, axis=-1)
-
-
 @functools.lru_cache(maxsize=None)
-def _buffer_slot_map(params: LDPCParams) -> Tuple[np.ndarray, int]:
-    """(N,)-map from buffer position to cycle slot, plus the cycle length.
+def _cycle_geometry(params: LDPCParams) -> Tuple[int, int, int, int]:
+    """(lo, hi, M, r): filler hole clipped to N_cb, cycle length, start rank.
 
-    ``selection_indices`` reads ``tile(cycle, reps)[:E]``; inverting it,
-    buffer position ``cycle[t]`` collects exactly the emitted offsets
-    ``t, t+len(cycle), t+2*len(cycle), ...`` and every other position
-    (fillers, never-transmitted) collects nothing.  Those get slot
-    ``len(cycle)`` — an appended all-zero column.
+    Sorted non-filler buffer positions are S = [0, lo) ++ [hi, N_cb), with
+    ``rank(p) = p if p < lo else p - (hi - lo)``; one selection cycle is S
+    rotated to start at the first non-filler position at-or-after k_0, i.e.
+    at rank ``r``.
     """
     lo, hi = params.filler_range_d
     k0, N_cb = params.k_0, params.N_cb
-    offsets = (k0 + np.arange(N_cb)) % N_cb
-    cycle = offsets[(offsets < lo) | (offsets >= hi)]
-    slot = np.full(params.N, cycle.size, dtype=np.int32)
-    slot[cycle] = np.arange(cycle.size, dtype=np.int32)
-    return slot, cycle.size
+    lo, hi = min(lo, N_cb), min(hi, N_cb)
+    M = N_cb - (hi - lo)
+    assert M > 0, "no transmittable positions in circular buffer"
+    assert 0 <= k0 < N_cb
+    if k0 < lo:
+        r = k0
+    elif k0 < hi:
+        r = lo  # k_0 inside the filler hole: first emission is position hi
+    else:
+        r = k0 - (hi - lo)
+    return lo, hi, M, r
+
+
+def select_bits(params: LDPCParams, d: jax.Array, E: int) -> jax.Array:
+    """Encoder bit selection: d (..., N) -> e (..., E).  Slices + roll only."""
+    lo, hi, M, r = _cycle_geometry(params)
+    N_cb = params.N_cb
+    buf = jnp.concatenate([d[..., :lo], d[..., hi:N_cb]], axis=-1)
+    if r:
+        buf = jnp.roll(buf, -r, axis=-1)
+    reps = -(-E // M)
+    if reps > 1:
+        buf = jnp.tile(buf, (1,) * (buf.ndim - 1) + (reps,))
+    return buf[..., :E]
 
 
 def accumulate_llrs(params: LDPCParams, e_tilde: jax.Array, E: int) -> jax.Array:
     """Decoder bit selection: accumulate rate-matched LLRs into the buffer.
 
     e_tilde: (..., E) -> d_tilde (..., N).  Repeated positions accumulate
-    (Chase combining, NRLDPCDecoder.m:228-234).  Filler positions receive no
-    contribution; the chain later pins them to +inf (known zero bits).
+    (Chase combining, NRLDPCDecoder.m:228-234).  Filler positions and the
+    never-transmitted tail beyond N_cb receive zero; the chain later pins
+    fillers to +inf (known zero bits).
 
     Equivalent to ``zeros(N).at[selection_indices].add(e_tilde)`` but with
-    no scatter: sum over the circular-buffer repetition axis, then one
-    static gather placing each cycle slot at its buffer position.
+    no scatter and no gather: sum over the circular-buffer repetition axis
+    (the Chase combine), undo the k_0 rotation, and re-insert the zero
+    ranges by concat.
     """
-    slot_np, cycle_size = _buffer_slot_map(params)
-    slot = jnp.asarray(slot_np)
+    lo, hi, M, r = _cycle_geometry(params)
     lead = e_tilde.shape[:-1]
-    reps = -(-E // cycle_size)
-    pad = reps * cycle_size - E
+    reps = -(-E // M)
+    pad = reps * M - E
     if pad:
         e_tilde = jnp.pad(e_tilde, [(0, 0)] * len(lead) + [(0, pad)])
     if reps > 1:
-        acc = e_tilde.reshape(lead + (reps, cycle_size)).sum(axis=-2)
+        acc = e_tilde.reshape(lead + (reps, M)).sum(axis=-2)
     else:
         acc = e_tilde
-    # zero slot for positions that receive nothing
-    acc = jnp.pad(acc, [(0, 0)] * len(lead) + [(0, 1)])
-    return jnp.take(acc, slot, axis=-1)
+    if r:
+        acc = jnp.roll(acc, r, axis=-1)  # acc[rank(p)] now belongs to p
+    parts = [acc[..., :lo]]
+    if hi > lo:
+        parts.append(jnp.zeros(lead + (hi - lo,), acc.dtype))
+    parts.append(acc[..., lo:])
+    if params.N > params.N_cb:
+        parts.append(jnp.zeros(lead + (params.N - params.N_cb,), acc.dtype))
+    return jnp.concatenate(parts, axis=-1)

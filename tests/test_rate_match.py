@@ -95,3 +95,33 @@ def test_select_then_accumulate_inverse():
     idx = selection_indices(p, E)
     counts = np.bincount(idx, minlength=p.N)
     np.testing.assert_allclose(back, counts * np.asarray(d), rtol=1e-5)
+
+
+@pytest.mark.parametrize("rv", [0, 1, 2, 3])
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(BG=1, A=1001, G=1500, Q_m=2),            # fillers, BG1
+        dict(BG=2, A=201, G=900, Q_m=4),              # fillers, BG2
+        dict(BG=2, A=100, G=4000, Q_m=2),             # repetition (wraps)
+        dict(BG=1, A=4000, G=6000, Q_m=2, I_LBRM=1, TBS_LBRM=4000),  # N_cb < N
+        dict(BG=1, A=8424, G=25272, Q_m=2),           # no fillers (bench cfg)
+    ],
+    ids=["bg1-fillers", "bg2-fillers", "repetition", "lbrm", "no-fillers"],
+)
+def test_sliced_paths_match_index_oracle(kw, rv):
+    """select_bits/accumulate_llrs (slice+roll form) == explicit index math."""
+    p = LDPCParams(rv_id=rv, **kw)
+    E = p.E_r[0]
+    idx = selection_indices(p, E)
+    np.testing.assert_array_equal(idx, _oracle_indices(p, E))
+
+    d = RNG.normal(size=(3, p.N)).astype(np.float32)
+    e = np.asarray(select_bits(p, jnp.asarray(d), E))
+    np.testing.assert_array_equal(e, d[:, idx])
+
+    llrs = RNG.normal(size=(3, E)).astype(np.float32)
+    back = np.asarray(accumulate_llrs(p, jnp.asarray(llrs), E))
+    expected = np.zeros((3, p.N), np.float32)
+    np.add.at(expected, (slice(None), idx), llrs)
+    np.testing.assert_allclose(back, expected, rtol=1e-6, atol=1e-6)
