@@ -119,37 +119,67 @@ def _roll_bwd(x, s, Z, W, phase=None):
     return jnp.where(z >= s, u, v)
 
 
+_SIGN_BIT = np.int32(-(2**31))  # 0x80000000
+_MAG_MASK = np.int32(0x7FFFFFFF)
+_MAG_INF = np.int32(0x7F7FFFFF)  # f32 max: larger than any finite magnitude
+
+
 def _sign(x):
     return jnp.where(x < 0.0, -1.0, 1.0)
 
 
+def _bits(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _f32(b):
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+
 def _check_messages(v, algorithm, alpha, beta, Bt, W):
-    """Extrinsic messages for one check row from its edge inputs ``v``."""
+    """Extrinsic messages for one check row from its edge inputs ``v``.
+
+    The min-sum family runs in sign/magnitude bit arithmetic: magnitudes are
+    ``bits & 0x7fffffff`` compared as integers (order-isomorphic to floats
+    for non-negative values), the two smallest are kept by a min/max
+    tournament (no argmin index to track), and signs are XORs of f32 sign
+    bits.  Bit-identical to the arithmetic form — ``where(x<0,-1,1)`` vs the
+    sign bit differs only at x == -0.0, which cannot arise here: channel
+    LLRs are finite with +0.0 at punctured/untransmitted positions, and
+    IEEE add/sub of non-(-0.0) operands never produces -0.0.
+    """
     if algorithm in ("min-sum", "offset-min-sum"):
-        m1 = jnp.abs(v[0])
-        m2 = jnp.full((Bt, W), jnp.inf, jnp.float32)
-        idx = jnp.zeros((Bt, W), jnp.int32)
-        sprod = _sign(v[0])
-        for i in range(1, len(v)):
-            av = jnp.abs(v[i])
-            better = av < m1
-            m2 = jnp.where(better, m1, jnp.minimum(m2, av))
-            m1 = jnp.where(better, av, m1)
-            idx = jnp.where(better, i, idx)
-            sprod = sprod * _sign(v[i])
+        bits = [_bits(ve) for ve in v]
+        mags = [b & _MAG_MASK for b in bits]
+        sbits = bits[0]
+        for b in bits[1:]:
+            sbits = sbits ^ b  # only bit 31 is consumed
+        # two smallest magnitudes with multiplicity (ties -> m2 == m1)
+        m1 = mags[0]
+        m2 = jnp.full((Bt, W), _MAG_INF, jnp.int32)
+        for mg in mags[1:]:
+            m2 = jnp.minimum(m2, jnp.maximum(m1, mg))
+            m1 = jnp.minimum(m1, mg)
         # Fold the normalization into m1/m2 once per row instead of once per
-        # edge — bit-identical (same multiply on the same operands), saves
-        # (row degree - 2) VPU ops per row.
+        # edge; the scaled magnitudes go back to int bits for the sign XOR.
         if algorithm == "min-sum":
-            m1 = alpha * m1
-            m2 = alpha * m2
+            m1f = alpha * _f32(m1)
+            m2f = alpha * _f32(m2)
         else:
-            m1 = jnp.maximum(m1 - beta, 0.0)
-            m2 = jnp.maximum(m2 - beta, 0.0)
+            m1f = jnp.maximum(_f32(m1) - beta, 0.0)
+            m2f = jnp.maximum(_f32(m2) - beta, 0.0)
+        # Pre-fold the row sign product into the scaled magnitudes (their
+        # own sign bit is 0): per edge the extrinsic sign then costs one AND
+        # + one XOR instead of XOR/AND/OR — bit-identical, OR == XOR on
+        # disjoint bits.
+        ssign = sbits & _SIGN_BIT
+        m1s = _bits(m1f) ^ ssign
+        m2s = _bits(m2f) ^ ssign
         out = []
-        for i, ve in enumerate(v):
-            mag = jnp.where(idx == i, m2, m1)
-            out.append(sprod * _sign(ve) * mag)
+        for mg, b in zip(mags, bits):
+            mag = jnp.where(mg == m1, m2s, m1s)
+            # extrinsic sign = sign product excluding this edge
+            out.append(_f32(mag ^ (b & _SIGN_BIT)))
         return out
     elif algorithm == "sum-product":
         phis = [_phi(jnp.abs(ve)) for ve in v]
@@ -226,31 +256,33 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                 out_vals[c] = totals[c]
         c2v[...] = jnp.zeros((E, Bt, W), dtype)
 
-        def row_parity(t, sweep_ok, bad_acc):
-            """Fold one row's sign-parity into the sweep accumulator."""
-            par = t[0] < 0.0
+        def row_parity(t, bad_bits):
+            """Fold one row's sign-parity into the sweep accumulator.
+
+            One XOR per edge on the raw f32 bits plus one OR per row; only
+            bit 31 (the sign) of the accumulator is meaningful, tested once
+            per SWEEP in reduce_ok — no per-row compare, mask, or
+            cross-lane reduction.
+            """
+            pb = _bits(t[0])
             for te in t[1:]:
-                par = par ^ (te < 0.0)
-            bad = jnp.where(par, 1.0, 0.0)
+                pb = pb ^ _bits(te)
+            return bad_bits | pb
+
+        def reduce_ok(bad_bits):
+            """(Bt, W) int parity accumulator -> per-codeword ok flags."""
+            bad = jnp.where(bad_bits < 0, 1.0, 0.0)
             if valid is not None:
                 bad = bad * valid  # ignore pad lanes
             if packed:
-                return sweep_ok, jnp.maximum(bad_acc, bad)
-            row_ok = 1.0 - jnp.max(bad, axis=1, keepdims=True)
-            return sweep_ok * row_ok, bad_acc
-
-        def reduce_ok(sweep_ok, bad_acc):
-            if not packed:
-                return sweep_ok
-            # segment-local all-reduce: after ceil(log2 Z) doubling
-            # rotations every lane holds its codeword's max violation
-            d = 1
-            while d < Z:
-                bad_acc = jnp.maximum(
-                    bad_acc, _roll_bwd(bad_acc, d, Z, W, phase)
-                )
-                d *= 2
-            return 1.0 - bad_acc  # (Bt, W)
+                # segment-local all-reduce: after ceil(log2 Z) doubling
+                # rotations every lane holds its codeword's max violation
+                d = 1
+                while d < Z:
+                    bad = jnp.maximum(bad, _roll_bwd(bad, d, Z, W, phase))
+                    d *= 2
+                return 1.0 - bad  # (Bt, W)
+            return 1.0 - jnp.max(bad, axis=1, keepdims=True)  # (Bt, 1)
 
         def sweep(carry):
             # done/sweep_ok/used carried as f32 — Mosaic cannot carry i1
@@ -259,8 +291,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
             # of per sublane row, so every packed codeword still freezes,
             # counts, and reports individually.
             it, done, used = carry
-            bad_acc = jnp.zeros((Bt, W), jnp.float32)
-            sweep_ok = jnp.ones((Bt, 1), dtype=jnp.float32)
+            bad_bits = jnp.zeros((Bt, W), jnp.int32)
             if flooding:
                 # Flooding freezes finished codewords (and all updates on
                 # the final pass it == iterations, which exists only to
@@ -282,7 +313,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                         for (_, c, _), d in zip(edges, deltas[r])
                     ]
                 # on-the-fly parity of current totals (early termination)
-                sweep_ok, bad_acc = row_parity(t, sweep_ok, bad_acc)
+                bad_bits = row_parity(t, bad_bits)
 
                 v = [
                     te - c2v[e].astype(jnp.float32)
@@ -302,7 +333,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                         # COLUMN per sweep).
                         c2v[e] = nm[i].astype(dtype)
                         totals[c] = ve + nm[i]
-            sweep_ok = reduce_ok(sweep_ok, bad_acc)
+            sweep_ok = reduce_ok(bad_bits)
             newly = jnp.maximum(done, sweep_ok) - done  # {0,1}
             if flooding:
                 # A codeword whose syndrome passed THIS sweep keeps its
@@ -365,8 +396,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
             # message math).  Tiles that converged early skip it entirely.
             @pl.when(jnp.min(done) < 0.5)
             def _final_syndrome():
-                bad_acc = jnp.zeros((Bt, W), jnp.float32)
-                sweep_ok = jnp.ones((Bt, 1), dtype=jnp.float32)
+                bad_bits = jnp.zeros((Bt, W), jnp.int32)
                 for r in range(nr):
                     t = [
                         _roll_fwd(
@@ -374,8 +404,8 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                         )
                         for (_, c, s) in by_row[r]
                     ]
-                    sweep_ok, bad_acc = row_parity(t, sweep_ok, bad_acc)
-                sweep_ok = reduce_ok(sweep_ok, bad_acc)
+                    bad_bits = row_parity(t, bad_bits)
+                sweep_ok = reduce_ok(bad_bits)
                 ok_ref[...] = jnp.maximum(done, sweep_ok).astype(jnp.int32)
 
     return kernel
