@@ -50,11 +50,12 @@ from ..spec.params import LDPCParams
 from .decoder import DecodeResult, _PHI_MAX, _PHI_MIN, _phi
 from .decoder_fast import _row_plan
 
-# Bt=8 (the sublane minimum) wins for layered delta-rotation: early
-# termination freezes the whole tile on its slowest codeword, and the
-# smaller tile pays less tail latency than the larger tile saves in
-# utilization (measured at BG1 Z=384: 3.38 us/cw vs 3.75 at Bt=16).
-LAYERED_BATCH_TILE = 8
+# Bt=16 wins for layered delta-rotation since the sign/magnitude check
+# update cut per-sweep compute: the larger tile's utilization now beats
+# the early-termination tail it pays (the whole tile runs until its
+# slowest codeword).  Measured at BG1 Z=384, mid-noise LLRs: 5.77 us/cw
+# vs 6.99 at Bt=8; bench point confirms.
+LAYERED_BATCH_TILE = 16
 FLOODING_BATCH_TILE = 8  # flooding carries an extra (nc, Bt, W) accumulator
 # bf16 message storage nearly halves VMEM (a headroom knob, not a speed one)
 LAYERED_BATCH_TILE_BF16 = 16
