@@ -56,10 +56,15 @@ from .decoder_fast import _row_plan
 # slowest codeword).  Measured at BG1 Z=384, mid-noise LLRs: 5.77 us/cw
 # vs 6.99 at Bt=8; bench point confirms.
 LAYERED_BATCH_TILE = 16
-FLOODING_BATCH_TILE = 8  # flooding carries an extra (nc, Bt, W) accumulator
+# Flooding carries an extra (nc, Bt, W) accumulator, so Bt=16 at Z=384
+# (~11 MB of state) only fits under the raised scoped-VMEM cap below.
+# Measured at BG1 Z=384, mid-noise LLRs: 99.2k cw/s vs 79.6k at Bt=8
+# (+25%); Bt=32 adds only +2.5% more and doubles the early-termination
+# tail a tile waits on, so 16 is the default.
+FLOODING_BATCH_TILE = 16
 # bf16 message storage nearly halves VMEM (a headroom knob, not a speed one)
 LAYERED_BATCH_TILE_BF16 = 16
-FLOODING_BATCH_TILE_BF16 = 8
+FLOODING_BATCH_TILE_BF16 = 16
 _PAD_LLR = 1e9  # pad lanes decode to bit 0 and stay finite
 _MIN_Z = 8  # below this the XLA flooding path is at least as good
 
