@@ -80,14 +80,43 @@ def _pad_width(Z: int) -> int:
     return -(-Z // 128) * 128
 
 
+# Widest packed tile the auto-packing heuristic will build: 8 vector
+# registers of lanes.  Wider tiles keep paying per-register roll cost but
+# stop adding utilization, and every extra packed codeword deepens the
+# early-termination tail the whole tile waits on.
+_PACK_LANE_CAP = 1024
+
+
+def _auto_pack(Z: int) -> int:
+    """Codewords to pack side by side on the lane axis (P).
+
+    Segments are mod-Z blocks at lanes [k*Z, (k+1)*Z); the tile width is
+    ceil(P*Z/128)*128, so P is NOT limited to 128//Z: packing across
+    register boundaries recovers the pad waste of mid-range Z, which is
+    substantial (Z=160 pads 256 lanes -> 37.5% idle; Z=208 -> 18.75%;
+    Z=72 -> 43.75%).  Pick the P maximizing lane utilization minus a small
+    per-codeword penalty (every extra packed codeword deepens the
+    early-termination tail the whole tile waits on); measured on v5e the
+    win tracks utilization (see DESIGN.md section 8).
+    """
+    best_p, best_score = 1, Z / _pad_width(Z) - 0.01
+    for p in range(2, _PACK_LANE_CAP // Z + 1):
+        score = (p * Z) / _pad_width(p * Z) - 0.01 * p
+        if score > best_score + 1e-9:
+            best_p, best_score = p, score
+    return best_p
+
+
 def _roll_fwd(x, s, Z, W, phase=None):
     """variable->check coords: out[z] = x[(z+s) % Z] per mod-Z segment.
 
     ``phase=None`` (unpacked): one segment at lanes [0, Z), pad above.
-    ``phase`` = lane%Z (packed): P = W//Z independent codeword segments at
-    lanes [k*Z, (k+1)*Z) rotate simultaneously — the two rolls read only
-    in-segment lanes for every valid output lane, so one pair of rolls
-    serves all P codewords.
+    ``phase`` = lane%Z (packed): P independent codeword segments at lanes
+    [k*Z, (k+1)*Z) rotate simultaneously — the two rolls read only
+    in-segment lanes for every valid output lane (valid lane z with
+    (z % Z) < Z-s reads x[z+s] <= lane (k+1)Z-1, staying in-segment; the
+    wrapped read likewise), so one pair of rolls serves all P codewords
+    regardless of register-boundary alignment.
     """
     s = s % Z
     if s == 0:
@@ -207,7 +236,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                  dtype=jnp.float32, P: int = 1):
     by_row, _ = _row_plan(params)
     nc, nr, Z = params.num_cols, params.num_rows, params.Z_c
-    W = _pad_width(Z)
+    W = _pad_width(max(P, 1) * Z)
     E = len(params.edges[0])
     flooding = schedule == "flooding"
 
@@ -422,7 +451,7 @@ def _build(params: LDPCParams, iterations: int, algorithm: str, schedule: str,
            alpha: float, beta: float, Bt: int, interpret: bool = False,
            dtype_name: str = "float32", P: int = 1):
     nc, Z = params.num_cols, params.Z_c
-    W = _pad_width(Z)
+    W = _pad_width(max(P, 1) * Z)
     E = len(params.edges[0])
     dtype = jnp.dtype(dtype_name)
     kernel = _make_kernel(params, iterations, algorithm, schedule, alpha, beta,
@@ -502,13 +531,16 @@ def decode(
     classic fixed-point LDPC decoders run at 6); sum-product stays
     f32-only so its trajectory remains bit-exact vs the XLA reference.
 
-    lane_pack: codewords packed side by side along the 128 lanes when
-    Z < 128 — P = W//Z codewords share each (Bt, W) tile as independent
-    mod-Z segments (0 = that automatic choice, 1 = off, n = explicit).
-    Rolls act segment-locally (same two-roll+select as the pad path, with
-    a lane%Z phase mask), and freeze/termination masks are per lane, so
-    packed decoding is bit-identical per codeword to unpacked — it just
-    stops wasting 1 - Z/128 of every vector register at small Z.
+    lane_pack: codewords packed side by side on the lane axis — P
+    codewords share each (Bt, W) tile as independent mod-Z segments at
+    lanes [k*Z, (k+1)*Z), with W = ceil(P*Z/128)*128 (0 = automatic
+    choice maximizing lane utilization, 1 = off, n = explicit).  Packing
+    is NOT limited to Z < 128: mid-range Z pads heavily (Z=160 -> 37.5%
+    idle lanes, Z=208 -> 18.75%), and packing across vector-register
+    boundaries recovers that waste.  Rolls act segment-locally (same
+    two-roll+select as the pad path, with a lane%Z phase mask), and
+    freeze/termination masks are per lane, so packed decoding is
+    bit-identical per codeword to unpacked.
     """
     if algorithm not in ALGORITHMS:
         raise ValueError(f"unsupported algorithm {algorithm}")
@@ -528,10 +560,10 @@ def decode(
         else:
             batch_tile = LAYERED_BATCH_TILE_BF16 if bf16 else LAYERED_BATCH_TILE
     nc, Z = params.num_cols, params.Z_c
-    W = _pad_width(Z)
-    P = (W // Z) if lane_pack == 0 else lane_pack
-    if not 1 <= P <= W // Z:
-        raise ValueError(f"lane_pack={lane_pack} invalid for Z={Z} (max {W // Z})")
+    P = _auto_pack(Z) if lane_pack == 0 else lane_pack
+    if P < 1:
+        raise ValueError(f"lane_pack={lane_pack} invalid for Z={Z}")
+    W = _pad_width(P * Z)
     assert llr.shape[-1] == nc * Z
     batch_shape = llr.shape[:-1]
     flat = llr.astype(jnp.float32).reshape(-1, nc, Z)

@@ -156,14 +156,18 @@ def test_bf16_rejects_sum_product():
 
 
 def test_lane_packing_matches_unpacked():
-    """Packed small-Z decoding (P codewords per 128-lane tile) is
-    bit-identical, codeword for codeword, to lane_pack=1 — including
-    parity flags, per-codeword iteration counts, and odd batch sizes."""
+    """Packed decoding (P codewords per lane-axis tile) is bit-identical,
+    codeword for codeword, to lane_pack=1 — including parity flags,
+    per-codeword iteration counts, odd batch sizes, and packs that cross
+    128-lane register boundaries (Z=72: P=7 segments over W=512)."""
+    from ldpc_3gpp_tpu.ops.decoder_pallas import _auto_pack
+
     for p, batch in (
         (LDPCParams(BG=2, A=400, G=1200, Q_m=2), 7),   # Z=52,  P=2
         (LDPCParams(BG=2, A=32, G=96, Q_m=2), 11),     # Z=8,   P=16
+        (LDPCParams(BG=2, A=640, G=1920, Q_m=2), 5),   # Z=72,  P=7, W=512
     ):
-        assert 128 // p.Z_c > 1
+        assert _auto_pack(p.Z_c) > 1
         cw, llr = _noisy_llrs(p, batch, 2.5, key=41 + p.Z_c)
         packed = jax.jit(
             partial(decode_pallas, p, iterations=15, interpret=True)
