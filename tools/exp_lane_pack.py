@@ -18,6 +18,8 @@ import jax.numpy as jnp
 
 # (BG, A): A chosen so K' = K_b * Z exactly -> the target Z, single CB
 CASES = (
+    (2, 336, 44),
+    (2, 368, 48),
     (2, 704, 72),
     (1, 3496, 160),
     (1, 4200, 192),
@@ -45,8 +47,11 @@ def main():
             + 1.0
         )(key)
         auto = _auto_pack(z)
-        tried = sorted({1, auto} | {q for q in (2, 3, 4, 7) if q * 16 <= BATCH
-                                    and BATCH % (q * 16) == 0 and q * z <= 1024})
+        tried = sorted({1, auto})
+        if "--sweep" in sys.argv:  # nearby explicit P, to audit the heuristic
+            tried = sorted(set(tried) | {q for q in (2, 3, 4, 7, 8)
+                                         if BATCH % (q * 16) == 0
+                                         and q * z <= 1024})
         for P in tried:
             try:
                 f = partial(decode, p, iterations=12, algorithm="min-sum",
