@@ -120,8 +120,13 @@ class MonteCarlo:
         outs = [
             self._step(jax.random.fold_in(key, i), e) for i in range(calls)
         ]
-        sums = jnp.stack([sum(parts) for parts in zip(*outs)])
-        blocks, errs, bit_errs, iters = (int(v) for v in np.asarray(sums))
+        # One host fetch of the (calls, 4) counter matrix; sum in int64 on
+        # the host — an on-device int32 window sum can overflow bit_errors
+        # at BLER ~ 1 (large-A dispatches carry ~1e8 bit errors each).
+        mat = np.asarray(jnp.stack([jnp.stack(o) for o in outs]))
+        blocks, errs, bit_errs, iters = (
+            int(v) for v in mat.astype(np.int64).sum(axis=0)
+        )
         return {
             "blocks": blocks,
             "block_errors": errs,

@@ -41,12 +41,12 @@ class Entry:
     esn0_start: float  # calibration sweep start (dB)
 
 
-# Matrix: both base graphs, every modulation the reference supports except
-# BPSK (Q_m=1 makes G odd-sized for interesting A; QPSK covers the PSK
-# demod path), small/large A, single/multi code block, low/high rate,
-# lane-packed small Z through Z=384.  Budgets weight fast configs so the
-# campaign lands >= 1e9 code blocks in a few thousand chip-seconds.
+# Matrix: both base graphs, every modulation the reference supports
+# (BPSK through 256QAM), small/large A, single/multi code block, low/high
+# rate, lane-packed small Z through Z=384.  Budgets weight fast configs so
+# the campaign lands >= 1e9 code blocks in a few thousand chip-seconds.
 MATRIX = (
+    Entry("bg2_a100_r13_bpsk", 2, 100, 1 / 3, "BPSK", 50_000_000, -2.0),
     Entry("bg2_a100_r12_qpsk", 2, 100, 1 / 2, "QPSK", 300_000_000, 2.0),
     Entry("bg2_a308_r15_qpsk", 2, 308, 1 / 5, "QPSK", 150_000_000, -1.0),
     Entry("bg2_a640_r13_16qam", 2, 640, 1 / 3, "16QAM", 120_000_000, 4.0),
