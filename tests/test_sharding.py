@@ -5,6 +5,7 @@ Key invariant (SURVEY.md section 4d): the mesh-aggregated counters for a
 given total seed set must be deterministic and independent of how work is
 split across devices.
 """
+import os
 from functools import partial
 
 import jax
@@ -85,3 +86,57 @@ def test_per_device_rng_differs():
         if c["block_errors"] % 8 == 0:
             multiples += 1
     assert multiples < 4, "per-device counters look identical across the mesh"
+
+
+def test_two_process_distributed_counters(tmp_path):
+    """Real jax.distributed over two local processes: both workers must see
+    the same globally psum-reduced counters (the multi-host invariant of
+    COVERAGE.md section 2.2), launched via the CLI launcher."""
+    import subprocess
+    import sys
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(
+        "import os, sys\n"
+        "os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from ldpc_3gpp_tpu.parallel.launcher import init_distributed\n"
+        "init_distributed()\n"
+        "from ldpc_3gpp_tpu.models.chain import ChainConfig\n"
+        "from ldpc_3gpp_tpu.parallel.montecarlo import MonteCarlo\n"
+        "from ldpc_3gpp_tpu.spec.params import LDPCParams\n"
+        "p = LDPCParams(BG=2, A=100, G=300, Q_m=2)\n"
+        "cfg = ChainConfig(params=p, modulation='QPSK', iterations=4,\n"
+        "                  algorithm='min-sum')\n"
+        "mc = MonteCarlo(cfg, batch_per_device=4)\n"
+        "c = mc.run(jax.random.PRNGKey(0), 3.0)\n"
+        "assert jax.process_count() == 2 and jax.device_count() == 4\n"
+        "print('COUNTERS', sorted(c.items()), flush=True)\n"
+    )
+    import ldpc_3gpp_tpu
+
+    repo_root = os.path.dirname(os.path.dirname(ldpc_3gpp_tpu.__file__))
+    import socket
+
+    with socket.socket() as s:  # free port on localhost
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "ldpc_3gpp_tpu.parallel.launcher",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--", sys.executable, str(worker)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env={**{k: v for k, v in os.environ.items()
+                    if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+                 "PYTHONPATH": repo_root},
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    lines = [next(ln for ln in o.splitlines() if ln.startswith("COUNTERS"))
+             for o in outs]
+    assert lines[0] == lines[1], lines
