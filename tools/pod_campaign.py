@@ -54,6 +54,8 @@ MATRIX = (
     Entry("bg2_a3842_r13_qpsk", 2, 3842, 1 / 3, "QPSK", 50_000_000, 0.0),
     Entry("bg1_a4000_r12_16qam", 1, 4000, 1 / 2, "16QAM", 80_000_000, 5.0),
     Entry("bg1_a8424_r13_qpsk", 1, 8424, 1 / 3, "QPSK", 70_000_000, 0.0),
+    # BG1 multi-code-block: C=3 CBs of Z=320 per transport block
+    Entry("bg1_a20004_r12_16qam", 1, 20004, 1 / 2, "16QAM", 20_000_000, 5.0),
     Entry("bg1_a8424_r23_64qam", 1, 8424, 2 / 3, "64QAM", 60_000_000, 10.0),
     Entry("bg1_a8424_r89_256qam", 1, 8424, 8 / 9, "256QAM", 30_000_000, 19.0),
     Entry("bg1_a1000_r12_256qam", 1, 1000, 1 / 2, "256QAM", 30_000_000, 14.0),
