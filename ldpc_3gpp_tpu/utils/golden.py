@@ -43,6 +43,13 @@ def load() -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_int, ctypes.c_long,
         ctypes.POINTER(ctypes.c_long),
     ]
+    lib.nr_golden_decode_core.restype = ctypes.c_int
+    lib.nr_golden_decode_core.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
     _lib = lib
     return lib
 
@@ -92,3 +99,49 @@ def golden_params(
         raise RuntimeError(f"nr_golden_params failed with code {rc}")
     keys = ("C", "K_prime", "K_b", "Z_c", "i_LS", "K", "N", "B")
     return dict(zip(keys, out.tolist()))
+
+
+def golden_decode_core(
+    BG: int,
+    Z: int,
+    llr: np.ndarray,
+    iterations: int = 50,
+    algorithm: str = "min-sum",
+    alpha: float = 0.8125,
+    beta: float = 0.15,
+):
+    """Flooding BP decode with the native oracle (min-sum family only).
+
+    llr: (..., n_cols*Z) float32 lifted-layout channel LLRs.  Returns
+    (bits, parity_ok, iterations_used) with the same leading shape —
+    bit-exact vs ops.decoder_fast.decode / the Pallas flooding kernel
+    (see nr_golden_decode_core in native/golden.cpp for the contract).
+    """
+    lib = load()
+    algo = {"min-sum": 0, "offset-min-sum": 1}[algorithm]
+    llr = np.ascontiguousarray(np.asarray(llr, dtype=np.float32))
+    nv = llr.shape[-1]
+    flat = llr.reshape(-1, nv)
+    bits = np.zeros_like(flat, dtype=np.uint8)
+    ok = np.zeros(flat.shape[0], dtype=np.int32)
+    used = np.zeros(flat.shape[0], dtype=np.int32)
+    one_ok = ctypes.c_int(0)
+    one_used = ctypes.c_int(0)
+    for i in range(flat.shape[0]):
+        rc = lib.nr_golden_decode_core(
+            BG, Z, iterations, algo,
+            ctypes.c_float(alpha), ctypes.c_float(beta),
+            flat[i].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            bits[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(one_ok), ctypes.byref(one_used),
+        )
+        if rc != 0:
+            raise RuntimeError(f"nr_golden_decode_core failed with code {rc}")
+        ok[i] = one_ok.value
+        used[i] = one_used.value
+    shape = llr.shape[:-1]
+    return (
+        bits.reshape(llr.shape),
+        ok.astype(bool).reshape(shape),
+        used.reshape(shape),
+    )

@@ -14,8 +14,11 @@
 //
 // Build: make -C native   (produces libgolden.so)
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 #include "base_graphs.h"
@@ -300,6 +303,142 @@ int nr_golden_encode(int BG, int A, long G, int Q_m, int N_L, int rv_id,
     out_pos += E_r[r];
   }
   return (out_pos == G) ? 0 : 2;
+}
+
+// Independent scalar flooding BP decoder over the lifted PCM — the decoder
+// conformance oracle.  The JAX decoders (ops/decoder.py, decoder_fast.py,
+// decoder_layered.py, decoder_pallas.py) all share the base-graph edge plan
+// (_row_plan), so a bug there would be invisible to their cross-checks; this
+// implementation builds the lifted adjacency scalar-by-scalar straight from
+// the spec tables and runs the textbook per-check update.
+//
+// Bit-exactness contract (min-sum / offset-min-sum only): every operation in
+// the flooding min-sum trajectory is either exact (min, compare, sign flip,
+// subtraction of previously-identical values) or a single f32 rounding with a
+// deterministic association order (alpha*mag, mag-beta, the per-column
+// accumulation in ascending check-row order, channel + accumulator).  This
+// replicates ops/decoder_fast.py's order exactly, so decoded bits, the
+// parity flag, AND the early-termination iteration count must match
+// bit-for-bit.  Sum-product is not offered: libm transcendentals need not
+// round like XLA's, so equality there would be approximate, i.e. not a test.
+//
+// Semantics (comm.LDPCDecoder 'Parity check satisfied', NRLDPCDecoder.m:120):
+// check the syndrome BEFORE each update; on pass, report the totals the
+// syndrome was computed on and the number of updates applied so far; stop
+// after `iterations` updates either way.
+//
+// algorithm: 0 = normalized min-sum (alpha), 1 = offset min-sum (beta).
+// llr: n_cols*Z channel LLRs (positive = bit 0), the full lifted layout
+// including the 2Z punctured columns (zeros) — same input as the JAX cores.
+int nr_golden_decode_core(int BG, int Z, int iterations, int algorithm,
+                          float alpha, float beta, const float *llr,
+                          uint8_t *bits_out, int *ok_out, int *iters_out) {
+  if (BG < 1 || BG > 2 || Z < 2 || iterations < 0) return -1;
+  if (algorithm != 0 && algorithm != 1) return -1;
+  int i_ls = -1;
+  for (int s = 0; s < 8 && i_ls < 0; ++s)
+    for (int j = 0; j < 8 && kLiftSets[s][j]; ++j)
+      if (kLiftSets[s][j] == Z) {
+        i_ls = s;
+        break;
+      }
+  if (i_ls < 0) return -2;  // Z not a valid lifting size
+
+  const int *bg_row = (BG == 1) ? BG1_ROW : BG2_ROW;
+  const int *bg_col = (BG == 1) ? BG1_COL : BG2_COL;
+  const int *bg_shift = (BG == 1) ? BG1_SHIFT : BG2_SHIFT;
+  const int n_edges = (BG == 1) ? BG1_EDGES : BG2_EDGES;
+  const int n_rows = (BG == 1) ? 46 : 42;
+  const int n_cols = (BG == 1) ? 68 : 52;
+  const int nv = n_cols * Z;
+
+  std::vector<int> shift(n_edges);
+  for (int e = 0; e < n_edges; ++e) shift[e] = bg_shift[e * 8 + i_ls] % Z;
+  std::vector<std::vector<int>> row_edges(n_rows);
+  for (int e = 0; e < n_edges; ++e) row_edges[bg_row[e]].push_back(e);
+
+  std::vector<float> totals(llr, llr + nv);
+  std::vector<float> c2v((size_t)n_edges * Z, 0.0f);
+
+  auto syndrome_ok = [&]() {
+    for (int r = 0; r < n_rows; ++r)
+      for (int z = 0; z < Z; ++z) {
+        int par = 0;
+        for (int e : row_edges[r])
+          par ^= (totals[bg_col[e] * Z + (z + shift[e]) % Z] < 0.0f);
+        if (par) return false;
+      }
+    return true;
+  };
+
+  std::vector<float> acc(nv);
+  std::vector<uint8_t> touched(nv);
+  std::vector<float> v;
+  std::vector<int> vari;
+  int updates = 0;
+  for (;;) {
+    if (syndrome_ok()) {
+      *ok_out = 1;
+      *iters_out = updates;
+      break;
+    }
+    if (updates >= iterations) {
+      *ok_out = 0;
+      *iters_out = iterations;
+      break;
+    }
+    // one flooding sweep: all checks read the same pre-sweep totals
+    std::fill(touched.begin(), touched.end(), 0);
+    for (int r = 0; r < n_rows; ++r) {
+      const std::vector<int> &edges = row_edges[r];
+      const int deg = (int)edges.size();
+      v.assign(deg, 0.0f);
+      vari.assign(deg, 0);
+      for (int z = 0; z < Z; ++z) {
+        for (int i = 0; i < deg; ++i) {
+          const int e = edges[i];
+          vari[i] = bg_col[e] * Z + (z + shift[e]) % Z;
+          v[i] = totals[vari[i]] - c2v[(size_t)e * Z + z];
+        }
+        // two smallest magnitudes (running scan, strict-< first-min index
+        // like the JAX scan; ties make m2 == m1 so the index is moot)
+        float m1 = std::fabs(v[0]);
+        float m2 = std::numeric_limits<float>::infinity();
+        int idx = 0;
+        int sp = (v[0] < 0.0f) ? -1 : 1;
+        for (int i = 1; i < deg; ++i) {
+          const float av = std::fabs(v[i]);
+          if (av < m1) {
+            m2 = m1;
+            m1 = av;
+            idx = i;
+          } else {
+            m2 = std::min(m2, av);
+          }
+          sp *= (v[i] < 0.0f) ? -1 : 1;
+        }
+        for (int i = 0; i < deg; ++i) {
+          float mag = (i == idx) ? m2 : m1;
+          mag = (algorithm == 0) ? alpha * mag
+                                 : std::max(mag - beta, 0.0f);
+          const int se = (v[i] < 0.0f) ? -1 : 1;
+          const float out = (sp * se > 0) ? mag : -mag;
+          c2v[(size_t)edges[i] * Z + z] = out;
+          const int var = vari[i];
+          // first-touch assignment replicates decoder_fast's accumulator
+          // seeding (col_acc[c] = back on first use), so the f32 addition
+          // chain per variable is identical term for term
+          acc[var] = touched[var] ? acc[var] + out : out;
+          touched[var] = 1;
+        }
+      }
+    }
+    for (int k = 0; k < nv; ++k)
+      totals[k] = touched[k] ? llr[k] + acc[k] : llr[k];
+    ++updates;
+  }
+  for (int k = 0; k < nv; ++k) bits_out[k] = totals[k] < 0.0f;
+  return 0;
 }
 
 // Convenience: expose derived parameters for cross-checking the Python engine.

@@ -87,3 +87,47 @@ def test_encoder_bit_exact_with_cbgti():
     g_jax = np.asarray(encode_transport_block(p, jnp.asarray(a[None])))[0]
     g_gold = golden_encode(1, A, 3 * A, 2, a, rv_id=2, CBGTI=(1,))
     np.testing.assert_array_equal(g_jax, g_gold)
+
+
+@pytest.mark.parametrize(
+    "bg,A,G,esn0",
+    [(2, 100, 300, 2.0), (2, 640, 1280, 0.0), (1, 1000, 3000, 0.5)],
+)
+def test_decoder_bit_exact_vs_oracle(bg, A, G, esn0):
+    """Flooding min-sum decode vs the independent native C++ BP decoder.
+
+    All JAX decoders share the base-graph edge plan (_row_plan);
+    nr_golden_decode_core builds the lifted adjacency independently and runs
+    the scalar textbook update, so this catches plan/rotation/indexing bugs
+    the JAX-vs-JAX cross-checks cannot.  Every flooding min-sum operation is
+    exact or single-rounding with a deterministic order, so decoded bits,
+    parity flags, AND early-termination iteration counts must match
+    bit-for-bit — including non-converging codewords at the iteration cap.
+    """
+    from functools import partial
+
+    from ldpc_3gpp_tpu.ops import decoder_fast
+    from ldpc_3gpp_tpu.ops.channel import awgn, esn0_to_variance
+    from ldpc_3gpp_tpu.ops.encoder import encode
+    from ldpc_3gpp_tpu.ops.modulation import demodulate, modulate
+    from ldpc_3gpp_tpu.utils.golden import golden_decode_core
+
+    p = LDPCParams(BG=bg, A=A, G=G, Q_m=2)
+    rng = np.random.default_rng(bg * 1000 + A)
+    batch = 16
+    c = rng.integers(0, 2, size=(batch, p.K)).astype(np.uint8)
+    c[:, p.K_prime :] = 0
+    cw = np.asarray(encode(p, jnp.asarray(c)))
+    var = esn0_to_variance(esn0)
+    rx = awgn(jax.random.PRNGKey(A), modulate(jnp.asarray(cw), "QPSK"), var)
+    llr = np.asarray(demodulate(rx, "QPSK", var, "exact"), np.float32)
+    for algorithm in ("min-sum", "offset-min-sum"):
+        res = jax.jit(
+            partial(decoder_fast.decode, p, iterations=8, algorithm=algorithm)
+        )(jnp.asarray(llr))
+        gbits, gok, git = golden_decode_core(
+            bg, p.Z_c, llr, iterations=8, algorithm=algorithm
+        )
+        np.testing.assert_array_equal(np.asarray(res.bits), gbits)
+        np.testing.assert_array_equal(np.asarray(res.parity_ok), gok)
+        np.testing.assert_array_equal(np.asarray(res.iterations), git)
