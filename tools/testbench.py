@@ -8,7 +8,12 @@ the independent native C++ oracle (native/golden.cpp).  Runs until the trial
 budget is exhausted (or forever with --trials 0), printing one line per
 config like the reference (testbench.m:70).
 
-Usage:  python tools/testbench.py [--trials N] [--seed S] [--max-a A]
+With --decode, fuzzes the BP decoder instead (beyond the reference, whose
+testbench covers only the encoder): random configs and channel draws, the
+flooding min-sum decode compared bit-for-bit — bits, parity flags, iteration
+counts — against the independent scalar C++ decoder (nr_golden_decode_core).
+
+Usage:  python tools/testbench.py [--trials N] [--seed S] [--max-a A] [--decode]
 """
 import argparse
 import os
@@ -23,7 +28,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-a", type=int, default=100000,
                     help="max transport block size (testbench.m draws <=100000)")
+    ap.add_argument("--decode", action="store_true",
+                    help="fuzz the BP decoder against the C++ oracle instead")
     args = ap.parse_args()
+    if args.decode and args.max_a == 100000:
+        args.max_a = 8448  # one code block; scalar oracle stays fast
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
@@ -57,6 +66,41 @@ def main():
                            I_LBRM=I_LBRM, TBS_LBRM=TBS_LBRM)
         except UnsupportedParameters as e:
             print(f"[{trial}] skip BG{BG} A={A} G={G}: {e}")
+            continue
+
+        if args.decode:
+            from functools import partial
+
+            from ldpc_3gpp_tpu.ops import decoder_fast
+            from ldpc_3gpp_tpu.ops.channel import awgn, esn0_to_variance
+            from ldpc_3gpp_tpu.ops.encoder import encode
+            from ldpc_3gpp_tpu.ops.modulation import demodulate, modulate
+            from ldpc_3gpp_tpu.utils.golden import golden_decode_core
+
+            algorithm = ("min-sum", "offset-min-sum")[trial % 2]
+            iters = int(rng.integers(2, 13))
+            esn0 = float(rng.uniform(-1.0, 5.0))
+            batch = 4
+            c = rng.integers(0, 2, size=(batch, p.K), dtype=np.uint8)
+            c[:, p.K_prime:] = 0
+            cw = np.asarray(encode(p, jnp.asarray(c)))
+            var = esn0_to_variance(esn0)
+            rx = awgn(jax.random.PRNGKey(trial), modulate(jnp.asarray(cw), "QPSK"), var)
+            llr = np.asarray(demodulate(rx, "QPSK", var, "exact"), np.float32)
+            res = jax.jit(partial(decoder_fast.decode, p, iterations=iters,
+                                  algorithm=algorithm))(jnp.asarray(llr))
+            gbits, gok, git = golden_decode_core(
+                BG, p.Z_c, llr, iterations=iters, algorithm=algorithm)
+            same = (np.array_equal(np.asarray(res.bits), gbits)
+                    and np.array_equal(np.asarray(res.parity_ok), gok)
+                    and np.array_equal(np.asarray(res.iterations), git))
+            if not same:
+                print(f"[{trial}] DECODE MISMATCH: BG{BG} Z={p.Z_c} "
+                      f"{algorithm} it={iters} Es/N0={esn0:.2f}")
+                sys.exit(1)
+            tested += 1
+            print(f"[{trial}] ok decode BG{BG} Z={p.Z_c} {algorithm} "
+                  f"it={iters} Es/N0={esn0:.2f} dB ok={int(gok.sum())}/{batch}")
             continue
 
         a = rng.integers(0, 2, A, dtype=np.uint8)
