@@ -1,15 +1,17 @@
 """ctypes bindings for the native conformance oracle (native/golden.cpp).
 
-The oracle is an independently written scalar TS38.212 encoder (dense GF(2)
-core solve, literal spec rate-matching loop) used by the differential
-testbench — the same role nrULSCH plays for the reference (testbench.m:59-68).
+The oracle is an independently written scalar TS38.212 implementation (dense
+GF(2) core solve, literal spec rate-matching loops, bit-serial CRC, scalar
+lifted-adjacency BP) used by the differential testbench — the same role
+nrULSCH plays for the reference (testbench.m:59-68), extended beyond it to
+the decoder core and the full TB-level decode chain.
 """
 from __future__ import annotations
 
 import ctypes
 import os
 import subprocess
-from typing import Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import numpy as np
 
@@ -17,18 +19,27 @@ _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libgolden.so")
 _lib: Optional[ctypes.CDLL] = None
 
+#: BG -> number of base-graph columns (lifted codeword width = n_cols * Z).
+N_COLS = {1: 68, 2: 52}
+
+_ALGO = {"min-sum": 0, "offset-min-sum": 1, "sum-product": 2}
+
 
 def _build() -> None:
     subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
 
 
 def load() -> ctypes.CDLL:
-    """Load (building if necessary) the golden oracle library."""
+    """Load (building if necessary) the golden oracle library.
+
+    Always runs make first: the Makefile is incremental (a fresh .so is a
+    no-op), and a stale .so predating an ABI change would otherwise load
+    and fail confusingly at symbol-setup time.
+    """
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        _build()
+    _build()
     lib = ctypes.CDLL(_LIB_PATH)
     lib.nr_golden_encode.restype = ctypes.c_int
     lib.nr_golden_encode.argtypes = [
@@ -48,6 +59,19 @@ def load() -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_float, ctypes.c_float,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.nr_golden_decode.restype = ctypes.c_int
+    lib.nr_golden_decode.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
     ]
     _lib = lib
@@ -109,20 +133,32 @@ def golden_decode_core(
     algorithm: str = "min-sum",
     alpha: float = 0.8125,
     beta: float = 0.15,
+    return_totals: bool = False,
 ):
-    """Flooding BP decode with the native oracle (min-sum family only).
+    """Flooding BP decode with the native oracle.
 
     llr: (..., n_cols*Z) float32 lifted-layout channel LLRs.  Returns
-    (bits, parity_ok, iterations_used) with the same leading shape —
-    bit-exact vs ops.decoder_fast.decode / the Pallas flooding kernel
-    (see nr_golden_decode_core in native/golden.cpp for the contract).
+    (bits, parity_ok, iterations_used[, totals]) with the same leading
+    shape.  The min-sum family is bit-exact vs ops.decoder_fast.decode /
+    the Pallas flooding kernel; sum-product follows the same schedule and
+    clamps but evaluates phi with libm, so agreement there is
+    tolerance-based on the posterior totals (request them with
+    ``return_totals=True``); see nr_golden_decode_core in native/golden.cpp
+    for the full contract.
     """
     lib = load()
-    algo = {"min-sum": 0, "offset-min-sum": 1}[algorithm]
+    algo = _ALGO[algorithm]
     llr = np.ascontiguousarray(np.asarray(llr, dtype=np.float32))
-    nv = llr.shape[-1]
+    nv = N_COLS[BG] * Z
+    if llr.shape[-1] != nv:
+        raise ValueError(
+            f"BG{BG} Z={Z} expects the full lifted layout of {nv} LLRs "
+            f"({N_COLS[BG]}*Z, including the 2Z punctured columns); "
+            f"got {llr.shape[-1]}"
+        )
     flat = llr.reshape(-1, nv)
     bits = np.zeros_like(flat, dtype=np.uint8)
+    totals = np.zeros_like(flat, dtype=np.float32)
     ok = np.zeros(flat.shape[0], dtype=np.int32)
     used = np.zeros(flat.shape[0], dtype=np.int32)
     one_ok = ctypes.c_int(0)
@@ -134,14 +170,122 @@ def golden_decode_core(
             flat[i].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             bits[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.byref(one_ok), ctypes.byref(one_used),
+            totals[i].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
         if rc != 0:
             raise RuntimeError(f"nr_golden_decode_core failed with code {rc}")
         ok[i] = one_ok.value
         used[i] = one_used.value
     shape = llr.shape[:-1]
-    return (
+    out = (
         bits.reshape(llr.shape),
         ok.astype(bool).reshape(shape),
         used.reshape(shape),
+    )
+    if return_totals:
+        out = out + (totals.reshape(llr.shape),)
+    return out
+
+
+class GoldenHARQState(NamedTuple):
+    """Caller-owned HARQ buffers for golden_decode (zeroed = reset)."""
+
+    d_buf: np.ndarray  # (C, N_cb) float32 accumulated channel LLRs
+    b_buf: np.ndarray  # (B,) uint8 best-so-far decoded bits
+    cb_ok: np.ndarray  # (C,) uint8 latched per-code-block pass flags
+
+
+class GoldenTBResult(NamedTuple):
+    a_hat: np.ndarray  # (A,) decoded info bits
+    tb_ok: bool
+    state: GoldenHARQState
+    cb_crc_ok: np.ndarray  # (C,) this transmission's CB CRC results
+    parity_ok: np.ndarray  # (C,) LDPC parity satisfied per code block
+    iterations: np.ndarray  # (C,) BP iterations used per code block
+
+
+def golden_init_state(BG: int, A: int, G: int, Q_m: int, N_L: int = 1,
+                      rv_id: int = 0, I_LBRM: int = 0,
+                      TBS_LBRM: Optional[int] = None) -> GoldenHARQState:
+    """Fresh (zeroed) HARQ buffers sized from the derived parameters."""
+    p = golden_params(BG, A, G, Q_m, N_L, rv_id, I_LBRM, TBS_LBRM)
+    n_ref = (3 * TBS_LBRM) // (2 * p["C"]) if (I_LBRM and TBS_LBRM) else p["N"]
+    n_cb = min(p["N"], n_ref) if I_LBRM else p["N"]
+    return GoldenHARQState(
+        d_buf=np.zeros((p["C"], n_cb), np.float32),
+        b_buf=np.zeros(p["B"], np.uint8),
+        cb_ok=np.zeros(p["C"], np.uint8),
+    )
+
+
+def golden_decode(
+    BG: int,
+    A: int,
+    G: int,
+    Q_m: int,
+    g_tilde: np.ndarray,
+    N_L: int = 1,
+    rv_id: int = 0,
+    I_LBRM: int = 0,
+    TBS_LBRM: Optional[int] = None,
+    CBGTI: Sequence[int] = (),
+    iterations: int = 50,
+    algorithm: str = "min-sum",
+    alpha: float = 0.8125,
+    beta: float = 0.15,
+    state: Optional[GoldenHARQState] = None,
+) -> GoldenTBResult:
+    """Full TB-level decode of G channel LLRs with the native oracle.
+
+    Independent counterpart of models.decoder.decode_transport_block
+    (NRLDPCDecoder.m:133-340): deinterleave, Chase combining, HARQ buffers,
+    filler pinning, BP decode, CB-CRC gating, TB CRC.  ``state=None``
+    decodes standalone; passing the previous result's state accumulates
+    LLRs and latched code blocks across retransmissions (I_HARQ = 1).
+    Bit-exact vs the JAX chain for the min-sum family (flooding schedule,
+    repetition count <= 3; see native/golden.cpp).
+    """
+    lib = load()
+    g_tilde = np.ascontiguousarray(np.asarray(g_tilde, dtype=np.float32))
+    if g_tilde.shape != (G,):
+        raise ValueError(f"expected {G} rate-matched LLRs, got {g_tilde.shape}")
+    use_harq = state is not None
+    if state is None:
+        state = golden_init_state(BG, A, G, Q_m, N_L, rv_id, I_LBRM, TBS_LBRM)
+    d_buf = np.ascontiguousarray(state.d_buf, np.float32).copy()
+    b_buf = np.ascontiguousarray(state.b_buf, np.uint8).copy()
+    cb_ok = np.ascontiguousarray(state.cb_ok, np.uint8).copy()
+    C = d_buf.shape[0]
+    cbgti = np.ascontiguousarray(np.asarray(list(CBGTI), dtype=np.int32))
+    a_hat = np.zeros(A, np.uint8)
+    tb_ok = ctypes.c_int(0)
+    cb_crc_ok = np.zeros(C, np.uint8)
+    parity_ok = np.zeros(C, np.int32)
+    iters = np.zeros(C, np.int32)
+    rc = lib.nr_golden_decode(
+        BG, A, G, Q_m, N_L, rv_id,
+        I_LBRM, -1 if TBS_LBRM is None else TBS_LBRM,
+        cbgti.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(CBGTI),
+        iterations, _ALGO[algorithm],
+        ctypes.c_float(alpha), ctypes.c_float(beta),
+        g_tilde.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(use_harq),
+        d_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        b_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cb_ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        a_hat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(tb_ok),
+        cb_crc_ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        parity_ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"nr_golden_decode failed with code {rc}")
+    return GoldenTBResult(
+        a_hat=a_hat,
+        tb_ok=bool(tb_ok.value),
+        state=GoldenHARQState(d_buf=d_buf, b_buf=b_buf, cb_ok=cb_ok),
+        cb_crc_ok=cb_crc_ok.astype(bool),
+        parity_ok=parity_ok.astype(bool),
+        iterations=iters,
     )

@@ -1,14 +1,18 @@
-// Independent scalar TS38.212 encoder — the conformance oracle.
+// Independent scalar TS38.212 oracle — encoder, BP decoder core, and the
+// full transport-block decode chain.
 //
 // Plays the role MathWorks' nrULSCH plays for the reference (testbench.m:59-68):
-// a second, independently written implementation that the TPU encoder must
+// a second, independently written implementation that the TPU chain must
 // match bit-for-bit across the randomized parameter space.  Deliberately uses
 // DIFFERENT algorithms from the JAX path wherever possible:
 //   - LDPC parity is solved by dense GF(2) Gaussian elimination on the 4Z x 4Z
 //     core block (not the rotation-cancellation trick),
 //   - rate matching is the literal spec while-loop with filler markers (not a
-//     precomputed gather),
-//   - CRC is bit-serial long division (not a generator-matrix matmul).
+//     precomputed gather), and its inverse is the literal scatter-accumulate
+//     (not the reshape/roll composition of ops/rate_match.py),
+//   - CRC is bit-serial long division (not a generator-matrix matmul),
+//   - the BP decoder builds the lifted adjacency scalar-by-scalar from the
+//     spec tables (not the shared base-graph roll plan).
 //
 // Exposed via a C ABI for ctypes (no pybind11 in this image).
 //
@@ -26,6 +30,10 @@
 namespace {
 
 constexpr int8_t FILLER = -1;  // marks <NULL> filler bits in d
+
+// Matches models/decoder.py FILLER_LLR: large finite stand-in for the
+// reference's +inf filler LLRs (NRLDPCDecoder.m:264).
+constexpr float FILLER_LLR = 1e20f;
 
 struct CrcPoly {
   const int *taps;
@@ -54,6 +62,16 @@ void crc_bits(const uint8_t *msg, int n, const CrcPoly &p, uint8_t *out) {
   std::memcpy(out, buf.data() + n, p.len);
 }
 
+// CRC pass check: remainder of the received (payload ++ crc) word is zero.
+bool crc_passes(const uint8_t *word, int n, const CrcPoly &p) {
+  if (n <= p.len) return false;
+  std::vector<uint8_t> rem(p.len);
+  crc_bits(word, n - p.len, p, rem.data());
+  for (int i = 0; i < p.len; ++i)
+    if (rem[i] != word[n - p.len + i]) return false;
+  return true;
+}
+
 // TS38.212 Table 5.3.2-1.
 const int kLiftSets[8][8] = {
     {2, 4, 8, 16, 32, 64, 128, 256}, {3, 6, 12, 24, 48, 96, 192, 384},
@@ -76,6 +94,100 @@ int lifting_size(int K_b, int K_prime, int *i_ls_out) {
         return best;
       }
   return -1;
+}
+
+int set_index_of(int Z) {
+  for (int s = 0; s < 8; ++s)
+    for (int j = 0; j < 8 && kLiftSets[s][j]; ++j)
+      if (kLiftSets[s][j] == Z) return s;
+  return -1;
+}
+
+// All derived TS38.212 parameters shared by encode and decode
+// (NRLDPC.m:297-543 equivalents; independently re-derived here).
+struct Derived {
+  const CrcPoly *tb_poly;
+  int L_cb;  // 24 when C > 1, else 0
+  long B, B_prime, K_prime;
+  int C, K_b, Z, i_ls, kb_full, n_rows, n_cols;
+  long K, N, N_cb, k0;
+  std::vector<int> flags;  // CBGTI schedule flags, length C
+  int C_prime;
+  std::vector<long> E_r;  // per-CB rate-matched lengths
+};
+
+// Returns 0 on success; negative = unsupported parameters.
+int derive(int BG, int A, long G, int Q_m, int N_L, int rv_id, int I_LBRM,
+           long TBS_LBRM, const int *CBGTI, int n_cbgti, Derived *p) {
+  if (BG < 1 || BG > 2 || A < 0 || G < 0 || rv_id < 0 || rv_id > 3) return -1;
+  if (Q_m != 1 && Q_m != 2 && Q_m != 4 && Q_m != 6 && Q_m != 8) return -1;
+  if (N_L < 1 || N_L > 4) return -1;
+  if (G % ((long)Q_m * N_L) != 0) return -2;
+
+  p->tb_poly = (A > 3824) ? &crc24a : &crc16;
+  p->B = A + p->tb_poly->len;
+  long K_cb = (BG == 1) ? 8448 : 3840;
+  if (p->B <= K_cb) {
+    p->C = 1;
+    p->L_cb = 0;
+  } else {
+    p->L_cb = 24;
+    p->C = (int)((p->B + (K_cb - 24) - 1) / (K_cb - 24));
+  }
+  p->B_prime = (p->B <= K_cb) ? p->B : p->B + (long)p->C * p->L_cb;
+  if (p->B_prime % p->C != 0) return -3;
+  p->K_prime = p->B_prime / p->C;
+  if (BG == 1) {
+    p->K_b = 22;
+  } else {
+    if (p->K_prime > 640) p->K_b = 10;
+    else if (p->K_prime > 560) p->K_b = 9;
+    else if (p->K_prime > 192) p->K_b = 8;
+    else p->K_b = 6;
+  }
+  p->Z = lifting_size(p->K_b, (int)p->K_prime, &p->i_ls);
+  if (p->Z < 0) return -4;
+  p->kb_full = (BG == 1) ? 22 : 10;
+  p->K = (long)p->kb_full * p->Z;
+  p->n_rows = (BG == 1) ? 46 : 42;
+  p->n_cols = (BG == 1) ? 68 : 52;
+  p->N = (long)(p->n_cols - 2) * p->Z;  // 66Z / 50Z
+
+  long N_ref = (I_LBRM && TBS_LBRM >= 0) ? (3 * TBS_LBRM) / (2 * p->C) : p->N;
+  p->N_cb = I_LBRM ? std::min(p->N, N_ref) : p->N;
+
+  p->flags.assign(p->C, 1);
+  for (int i = 0; i < n_cbgti; ++i)
+    if (CBGTI[i] < p->C) p->flags[CBGTI[i]] = 0;
+  p->C_prime = 0;
+  for (int r = 0; r < p->C; ++r) p->C_prime += p->flags[r];
+  if (p->C_prime == 0) return -5;
+
+  long unit = (long)N_L * Q_m;
+  long q = G / unit;
+  p->E_r.assign(p->C, 0);
+  {
+    int j = 0;
+    for (int r = 0; r < p->C; ++r) {
+      if (!p->flags[r]) continue;
+      if (j <= p->C_prime - (int)(q % p->C_prime) - 1)
+        p->E_r[r] = unit * (q / p->C_prime);
+      else
+        p->E_r[r] = unit * ((q + p->C_prime - 1) / p->C_prime);
+      ++j;
+    }
+  }
+
+  {
+    long num;
+    int den = (BG == 1) ? 66 : 50;
+    if (BG == 1)
+      num = (rv_id == 0) ? 0 : (rv_id == 1) ? 17 : (rv_id == 2) ? 33 : 56;
+    else
+      num = (rv_id == 0) ? 0 : (rv_id == 1) ? 13 : (rv_id == 2) ? 25 : 43;
+    p->k0 = (num * p->N_cb) / ((long)den * p->Z) * p->Z;
+  }
+  return 0;
 }
 
 // Dense GF(2) solve of the 4Z x 4Z core system B * p = rhs.
@@ -113,6 +225,145 @@ bool solve_core(const std::vector<std::vector<uint64_t>> &B_rows,
   return true;
 }
 
+// phi(x) = -log(tanh(x/2)) with the same clamps as the XLA reference
+// (ops/decoder.py:_phi: clip to [1e-9, 38] then evaluate in f32).  libm's
+// tanh/log need not round like XLA's vectorized approximations, so
+// sum-product equality vs the JAX path is tolerance-based, not bit-exact
+// (the min-sum family IS bit-exact; see the decode-core contract below).
+float phi_f(float x) {
+  x = std::min(std::max(x, 1e-9f), 38.0f);
+  return -std::log(std::tanh(x * 0.5f));
+}
+
+// Internal BP decode core; totals_out optional (may be nullptr).
+int decode_core_impl(int BG, int Z, int iterations, int algorithm, float alpha,
+                     float beta, const float *llr, uint8_t *bits_out,
+                     int *ok_out, int *iters_out, float *totals_out) {
+  if (BG < 1 || BG > 2 || Z < 2 || iterations < 0) return -1;
+  if (algorithm < 0 || algorithm > 2) return -1;
+  int i_ls = set_index_of(Z);
+  if (i_ls < 0) return -2;  // Z not a valid lifting size
+
+  const int *bg_row = (BG == 1) ? BG1_ROW : BG2_ROW;
+  const int *bg_col = (BG == 1) ? BG1_COL : BG2_COL;
+  const int *bg_shift = (BG == 1) ? BG1_SHIFT : BG2_SHIFT;
+  const int n_edges = (BG == 1) ? BG1_EDGES : BG2_EDGES;
+  const int n_rows = (BG == 1) ? 46 : 42;
+  const int n_cols = (BG == 1) ? 68 : 52;
+  const int nv = n_cols * Z;
+
+  std::vector<int> shift(n_edges);
+  for (int e = 0; e < n_edges; ++e) shift[e] = bg_shift[e * 8 + i_ls] % Z;
+  std::vector<std::vector<int>> row_edges(n_rows);
+  for (int e = 0; e < n_edges; ++e) row_edges[bg_row[e]].push_back(e);
+
+  std::vector<float> totals(llr, llr + nv);
+  std::vector<float> c2v((size_t)n_edges * Z, 0.0f);
+
+  auto syndrome_ok = [&]() {
+    for (int r = 0; r < n_rows; ++r)
+      for (int z = 0; z < Z; ++z) {
+        int par = 0;
+        for (int e : row_edges[r])
+          par ^= (totals[bg_col[e] * Z + (z + shift[e]) % Z] < 0.0f);
+        if (par) return false;
+      }
+    return true;
+  };
+
+  std::vector<float> acc(nv);
+  std::vector<uint8_t> touched(nv);
+  std::vector<float> v, ph;
+  std::vector<int> vari;
+  int updates = 0;
+  for (;;) {
+    if (syndrome_ok()) {
+      *ok_out = 1;
+      *iters_out = updates;
+      break;
+    }
+    if (updates >= iterations) {
+      *ok_out = 0;
+      *iters_out = iterations;
+      break;
+    }
+    // one flooding sweep: all checks read the same pre-sweep totals
+    std::fill(touched.begin(), touched.end(), 0);
+    for (int r = 0; r < n_rows; ++r) {
+      const std::vector<int> &edges = row_edges[r];
+      const int deg = (int)edges.size();
+      v.assign(deg, 0.0f);
+      vari.assign(deg, 0);
+      if (algorithm == 2) ph.assign(deg, 0.0f);
+      for (int z = 0; z < Z; ++z) {
+        for (int i = 0; i < deg; ++i) {
+          const int e = edges[i];
+          vari[i] = bg_col[e] * Z + (z + shift[e]) % Z;
+          v[i] = totals[vari[i]] - c2v[(size_t)e * Z + z];
+        }
+        if (algorithm == 2) {
+          // sum-product: phi-domain sum in ascending edge order, exactly
+          // like decoder_fast's `T = phis[0]; for p in phis[1:]: T += p`
+          float T = 0.0f;
+          int sp = 1;
+          for (int i = 0; i < deg; ++i) {
+            ph[i] = phi_f(std::fabs(v[i]));
+            T = (i == 0) ? ph[i] : T + ph[i];
+            sp *= (v[i] < 0.0f) ? -1 : 1;
+          }
+          for (int i = 0; i < deg; ++i) {
+            const float mag = phi_f(std::max(T - ph[i], 1e-9f));
+            const int se = (v[i] < 0.0f) ? -1 : 1;
+            const float out = (sp * se > 0) ? mag : -mag;
+            c2v[(size_t)edges[i] * Z + z] = out;
+            const int var = vari[i];
+            acc[var] = touched[var] ? acc[var] + out : out;
+            touched[var] = 1;
+          }
+          continue;
+        }
+        // two smallest magnitudes (running scan, strict-< first-min index
+        // like the JAX scan; ties make m2 == m1 so the index is moot)
+        float m1 = std::fabs(v[0]);
+        float m2 = std::numeric_limits<float>::infinity();
+        int idx = 0;
+        int sp = (v[0] < 0.0f) ? -1 : 1;
+        for (int i = 1; i < deg; ++i) {
+          const float av = std::fabs(v[i]);
+          if (av < m1) {
+            m2 = m1;
+            m1 = av;
+            idx = i;
+          } else {
+            m2 = std::min(m2, av);
+          }
+          sp *= (v[i] < 0.0f) ? -1 : 1;
+        }
+        for (int i = 0; i < deg; ++i) {
+          float mag = (i == idx) ? m2 : m1;
+          mag = (algorithm == 0) ? alpha * mag
+                                 : std::max(mag - beta, 0.0f);
+          const int se = (v[i] < 0.0f) ? -1 : 1;
+          const float out = (sp * se > 0) ? mag : -mag;
+          c2v[(size_t)edges[i] * Z + z] = out;
+          const int var = vari[i];
+          // first-touch assignment replicates decoder_fast's accumulator
+          // seeding (col_acc[c] = back on first use), so the f32 addition
+          // chain per variable is identical term for term
+          acc[var] = touched[var] ? acc[var] + out : out;
+          touched[var] = 1;
+        }
+      }
+    }
+    for (int k = 0; k < nv; ++k)
+      totals[k] = touched[k] ? llr[k] + acc[k] : llr[k];
+    ++updates;
+  }
+  for (int k = 0; k < nv; ++k) bits_out[k] = totals[k] < 0.0f;
+  if (totals_out) std::memcpy(totals_out, totals.data(), nv * sizeof(float));
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -122,51 +373,22 @@ extern "C" {
 int nr_golden_encode(int BG, int A, long G, int Q_m, int N_L, int rv_id,
                      int I_LBRM, long TBS_LBRM, const int *CBGTI, int n_cbgti,
                      const uint8_t *a, uint8_t *g_out) {
-  if (BG < 1 || BG > 2 || A < 0 || G < 0 || rv_id < 0 || rv_id > 3) return -1;
-  if (Q_m != 1 && Q_m != 2 && Q_m != 4 && Q_m != 6 && Q_m != 8) return -1;
-  if (N_L < 1 || N_L > 4) return -1;
-  if (G % ((long)Q_m * N_L) != 0) return -2;
+  Derived dp;
+  int rc = derive(BG, A, G, Q_m, N_L, rv_id, I_LBRM, TBS_LBRM, CBGTI, n_cbgti,
+                  &dp);
+  if (rc != 0) return rc;
+  const int C = dp.C;
+  const int Z = dp.Z;
+  const long K = dp.K, K_prime = dp.K_prime, N = dp.N, N_cb = dp.N_cb;
+  const int L_cb = dp.L_cb, kb_full = dp.kb_full, n_cols = dp.n_cols;
+  const int i_ls = dp.i_ls;
 
   // --- Section 5.1: TB CRC ---
-  const CrcPoly &tb_poly = (A > 3824) ? crc24a : crc16;
-  int L_tb = tb_poly.len;
-  long B = A + L_tb;
-  std::vector<uint8_t> b(B);
+  std::vector<uint8_t> b(dp.B);
   std::memcpy(b.data(), a, A);
-  crc_bits(a, A, tb_poly, b.data() + A);
+  crc_bits(a, A, *dp.tb_poly, b.data() + A);
 
-  // --- Section 5.2.2: segmentation ---
-  long K_cb = (BG == 1) ? 8448 : 3840;
-  int C;
-  int L_cb = 0;
-  if (B <= K_cb) {
-    C = 1;
-  } else {
-    L_cb = 24;
-    C = (int)((B + (K_cb - 24) - 1) / (K_cb - 24));
-  }
-  long B_prime = (B <= K_cb) ? B : B + (long)C * L_cb;
-  if (B_prime % C != 0) return -3;
-  long K_prime = B_prime / C;
-  int K_b;
-  if (BG == 1) {
-    K_b = 22;
-  } else {
-    if (K_prime > 640) K_b = 10;
-    else if (K_prime > 560) K_b = 9;
-    else if (K_prime > 192) K_b = 8;
-    else K_b = 6;
-  }
-  int i_ls;
-  int Z = lifting_size(K_b, (int)K_prime, &i_ls);
-  if (Z < 0) return -4;
-  int kb_full = (BG == 1) ? 22 : 10;
-  long K = (long)kb_full * Z;
-  int n_rows = (BG == 1) ? 46 : 42;
-  int n_cols = (BG == 1) ? 68 : 52;
-  long N = (long)(n_cols - 2) * Z;  // 66Z / 50Z
-
-  // per-code-block systematic bits c[r][k], filler marked
+  // --- Section 5.2.2: segmentation, per-code-block bits with filler marks ---
   std::vector<std::vector<int8_t>> c(C, std::vector<int8_t>(K, 0));
   {
     long s = 0;
@@ -247,60 +469,24 @@ int nr_golden_encode(int BG, int A, long G, int Q_m, int N_L, int rv_id,
     for (long k = K; k < N + 2l * Z; ++k) d[r_cb][k - 2 * Z] = (int8_t)cw[k];
   }
 
-  // --- Section 5.4.2.1: rate matching ---
-  long N_ref = (I_LBRM && TBS_LBRM >= 0) ? (3 * TBS_LBRM) / (2 * C) : N;
-  long N_cb = I_LBRM ? std::min(N, N_ref) : N;
-
-  std::vector<int> flags(C, 1);
-  for (int i = 0; i < n_cbgti; ++i)
-    if (CBGTI[i] < C) flags[CBGTI[i]] = 0;
-  int C_prime = 0;
-  for (int r = 0; r < C; ++r) C_prime += flags[r];
-  if (C_prime == 0) return -5;
-
-  long unit = (long)N_L * Q_m;
-  long q = G / unit;
-  std::vector<long> E_r(C, 0);
-  {
-    int j = 0;
-    for (int r = 0; r < C; ++r) {
-      if (!flags[r]) continue;
-      if (j <= C_prime - (int)(q % C_prime) - 1)
-        E_r[r] = unit * (q / C_prime);
-      else
-        E_r[r] = unit * ((q + C_prime - 1) / C_prime);
-      ++j;
-    }
-  }
-
-  long k0;
-  {
-    long num;
-    int den = (BG == 1) ? 66 : 50;
-    if (BG == 1)
-      num = (rv_id == 0) ? 0 : (rv_id == 1) ? 17 : (rv_id == 2) ? 33 : 56;
-    else
-      num = (rv_id == 0) ? 0 : (rv_id == 1) ? 13 : (rv_id == 2) ? 25 : 43;
-    k0 = (num * N_cb) / ((long)den * Z) * Z;
-  }
-
+  // --- Sections 5.4.2.1 / 5.4.2.2 / 5.5: rate matching + concatenation ---
   long out_pos = 0;
   for (int r = 0; r < C; ++r) {
-    if (E_r[r] == 0) continue;
+    if (dp.E_r[r] == 0) continue;
     // Section 5.4.2.1 bit selection: literal spec while-loop
-    std::vector<uint8_t> e(E_r[r]);
+    std::vector<uint8_t> e(dp.E_r[r]);
     long k = 0, j = 0;
-    while (k < E_r[r]) {
-      int8_t v = d[r][(k0 + j) % N_cb];
+    while (k < dp.E_r[r]) {
+      int8_t v = d[r][(dp.k0 + j) % N_cb];
       if (v != FILLER) e[k++] = (uint8_t)v;
       ++j;
     }
     // Section 5.4.2.2 interleaving: f[i + j*Q_m] = e[i*(E/Q_m) + j]
-    long EoQ = E_r[r] / Q_m;
+    long EoQ = dp.E_r[r] / Q_m;
     for (long jj = 0; jj < EoQ; ++jj)
       for (int i = 0; i < Q_m; ++i)
         g_out[out_pos + i + jj * Q_m] = e[i * EoQ + jj];
-    out_pos += E_r[r];
+    out_pos += dp.E_r[r];
   }
   return (out_pos == G) ? 0 : 2;
 }
@@ -312,163 +498,166 @@ int nr_golden_encode(int BG, int A, long G, int Q_m, int N_L, int rv_id,
 // implementation builds the lifted adjacency scalar-by-scalar straight from
 // the spec tables and runs the textbook per-check update.
 //
-// Bit-exactness contract (min-sum / offset-min-sum only): every operation in
+// Bit-exactness contract (min-sum / offset-min-sum): every operation in
 // the flooding min-sum trajectory is either exact (min, compare, sign flip,
 // subtraction of previously-identical values) or a single f32 rounding with a
 // deterministic association order (alpha*mag, mag-beta, the per-column
 // accumulation in ascending check-row order, channel + accumulator).  This
 // replicates ops/decoder_fast.py's order exactly, so decoded bits, the
 // parity flag, AND the early-termination iteration count must match
-// bit-for-bit.  Sum-product is not offered: libm transcendentals need not
-// round like XLA's, so equality there would be approximate, i.e. not a test.
+// bit-for-bit.  Sum-product (algorithm 2) follows the same schedule and the
+// same phi clamps but evaluates phi with libm, whose tanh/log round
+// differently from XLA's vectorized approximations — so SP agreement is
+// tolerance-based: posterior totals match to relative precision and hard
+// decisions may differ only where |total| is near zero (the test contract
+// lives in tests/test_conformance.py).  ``totals_out`` (nullable) exposes
+// the posterior LLRs for exactly that comparison.
 //
 // Semantics (comm.LDPCDecoder 'Parity check satisfied', NRLDPCDecoder.m:120):
 // check the syndrome BEFORE each update; on pass, report the totals the
 // syndrome was computed on and the number of updates applied so far; stop
 // after `iterations` updates either way.
 //
-// algorithm: 0 = normalized min-sum (alpha), 1 = offset min-sum (beta).
+// algorithm: 0 = normalized min-sum (alpha), 1 = offset min-sum (beta),
+//            2 = sum-product (phi function, clamps as ops/decoder.py).
 // llr: n_cols*Z channel LLRs (positive = bit 0), the full lifted layout
 // including the 2Z punctured columns (zeros) — same input as the JAX cores.
 int nr_golden_decode_core(int BG, int Z, int iterations, int algorithm,
                           float alpha, float beta, const float *llr,
-                          uint8_t *bits_out, int *ok_out, int *iters_out) {
-  if (BG < 1 || BG > 2 || Z < 2 || iterations < 0) return -1;
-  if (algorithm != 0 && algorithm != 1) return -1;
-  int i_ls = -1;
-  for (int s = 0; s < 8 && i_ls < 0; ++s)
-    for (int j = 0; j < 8 && kLiftSets[s][j]; ++j)
-      if (kLiftSets[s][j] == Z) {
-        i_ls = s;
-        break;
-      }
-  if (i_ls < 0) return -2;  // Z not a valid lifting size
+                          uint8_t *bits_out, int *ok_out, int *iters_out,
+                          float *totals_out) {
+  return decode_core_impl(BG, Z, iterations, algorithm, alpha, beta, llr,
+                          bits_out, ok_out, iters_out, totals_out);
+}
 
-  const int *bg_row = (BG == 1) ? BG1_ROW : BG2_ROW;
-  const int *bg_col = (BG == 1) ? BG1_COL : BG2_COL;
-  const int *bg_shift = (BG == 1) ? BG1_SHIFT : BG2_SHIFT;
-  const int n_edges = (BG == 1) ? BG1_EDGES : BG2_EDGES;
-  const int n_rows = (BG == 1) ? 46 : 42;
-  const int n_cols = (BG == 1) ? 68 : 52;
-  const int nv = n_cols * Z;
+// Full transport-block decode chain oracle — the independent counterpart of
+// models/decoder.py::decode_transport_block (NRLDPCDecoder.m:133-340):
+// code-block split, Section 5.4.2.2 deinterleave, Section 5.4.2.1 inverse
+// (literal scatter-accumulate with Chase combining of repeated positions),
+// HARQ d-buffer accumulation, 2Z punctured zeros + filler pinning to
+// +FILLER_LLR, flooding BP per code block, CB-CRC gating with CBGTI
+// scheduling, b-buffer merge, and the TB CRC + all-code-blocks-latched gate.
+//
+// HARQ state (d_buf: C*N_cb floats, b_buf: B bits, cb_ok: C flags) is
+// caller-owned and updated in place — pass zeroed buffers for a fresh
+// transport block (the reference's reset(), NRLDPCDecoder.m:343-356).
+// use_harq=0 skips only the d_buf accumulation into this transmission
+// (models/decoder.py decodes standalone the same way when state is None).
+//
+// For the min-sum family the whole chain is bit-exact vs
+// decode_transport_block(backend='fast', schedule='flooding') provided the
+// circular buffer wraps at most 3 times (repetition count <= 3: beyond that
+// XLA's reduction tree over the repetition axis may associate differently
+// than this sequential accumulate; every standard-rate config is far below
+// that).  Outputs: a_hat (A bits), tb_ok, per-CB cb_crc_ok / parity_ok /
+// iters_used.
+//
+// Returns 0 on success; negative = unsupported parameters.
+int nr_golden_decode(int BG, int A, long G, int Q_m, int N_L, int rv_id,
+                     int I_LBRM, long TBS_LBRM, const int *CBGTI, int n_cbgti,
+                     int iterations, int algorithm, float alpha, float beta,
+                     const float *g_tilde, int use_harq, float *d_buf,
+                     uint8_t *b_buf, uint8_t *cb_ok, uint8_t *a_hat,
+                     int *tb_ok, uint8_t *cb_crc_ok, int *parity_ok,
+                     int *iters_used) {
+  Derived dp;
+  int rc = derive(BG, A, G, Q_m, N_L, rv_id, I_LBRM, TBS_LBRM, CBGTI, n_cbgti,
+                  &dp);
+  if (rc != 0) return rc;
+  const int C = dp.C, Z = dp.Z, Q = Q_m;
+  const long K = dp.K, K_prime = dp.K_prime, N = dp.N, N_cb = dp.N_cb;
+  const int L_cb = dp.L_cb;
+  const long payload = K_prime - L_cb;
+  const int n_cols = dp.n_cols;
+  const long nv = (long)n_cols * Z;
 
-  std::vector<int> shift(n_edges);
-  for (int e = 0; e < n_edges; ++e) shift[e] = bg_shift[e * 8 + i_ls] % Z;
-  std::vector<std::vector<int>> row_edges(n_rows);
-  for (int e = 0; e < n_edges; ++e) row_edges[bg_row[e]].push_back(e);
+  // Filler positions in d coordinates: [K' - 2Z, K - 2Z) clipped to >= 0
+  // (NRLDPCDecoder.m:224; ops/rate_match.py filler_range_d).
+  const long f_lo = std::max(K_prime - 2 * Z, 0l);
+  const long f_hi = std::max(K - 2 * Z, 0l);
 
-  std::vector<float> totals(llr, llr + nv);
-  std::vector<float> c2v((size_t)n_edges * Z, 0.0f);
+  std::vector<float> d_tilde(N);
+  std::vector<float> cw_llr(nv);
+  std::vector<uint8_t> bits(nv);
+  std::vector<uint8_t> cbword(K_prime);
 
-  auto syndrome_ok = [&]() {
-    for (int r = 0; r < n_rows; ++r)
-      for (int z = 0; z < Z; ++z) {
-        int par = 0;
-        for (int e : row_edges[r])
-          par ^= (totals[bg_col[e] * Z + (z + shift[e]) % Z] < 0.0f);
-        if (par) return false;
-      }
-    return true;
-  };
-
-  std::vector<float> acc(nv);
-  std::vector<uint8_t> touched(nv);
-  std::vector<float> v;
-  std::vector<int> vari;
-  int updates = 0;
-  for (;;) {
-    if (syndrome_ok()) {
-      *ok_out = 1;
-      *iters_out = updates;
-      break;
-    }
-    if (updates >= iterations) {
-      *ok_out = 0;
-      *iters_out = iterations;
-      break;
-    }
-    // one flooding sweep: all checks read the same pre-sweep totals
-    std::fill(touched.begin(), touched.end(), 0);
-    for (int r = 0; r < n_rows; ++r) {
-      const std::vector<int> &edges = row_edges[r];
-      const int deg = (int)edges.size();
-      v.assign(deg, 0.0f);
-      vari.assign(deg, 0);
-      for (int z = 0; z < Z; ++z) {
-        for (int i = 0; i < deg; ++i) {
-          const int e = edges[i];
-          vari[i] = bg_col[e] * Z + (z + shift[e]) % Z;
-          v[i] = totals[vari[i]] - c2v[(size_t)e * Z + z];
-        }
-        // two smallest magnitudes (running scan, strict-< first-min index
-        // like the JAX scan; ties make m2 == m1 so the index is moot)
-        float m1 = std::fabs(v[0]);
-        float m2 = std::numeric_limits<float>::infinity();
-        int idx = 0;
-        int sp = (v[0] < 0.0f) ? -1 : 1;
-        for (int i = 1; i < deg; ++i) {
-          const float av = std::fabs(v[i]);
-          if (av < m1) {
-            m2 = m1;
-            m1 = av;
-            idx = i;
-          } else {
-            m2 = std::min(m2, av);
-          }
-          sp *= (v[i] < 0.0f) ? -1 : 1;
-        }
-        for (int i = 0; i < deg; ++i) {
-          float mag = (i == idx) ? m2 : m1;
-          mag = (algorithm == 0) ? alpha * mag
-                                 : std::max(mag - beta, 0.0f);
-          const int se = (v[i] < 0.0f) ? -1 : 1;
-          const float out = (sp * se > 0) ? mag : -mag;
-          c2v[(size_t)edges[i] * Z + z] = out;
-          const int var = vari[i];
-          // first-touch assignment replicates decoder_fast's accumulator
-          // seeding (col_acc[c] = back on first use), so the f32 addition
-          // chain per variable is identical term for term
-          acc[var] = touched[var] ? acc[var] + out : out;
-          touched[var] = 1;
-        }
+  long in_pos = 0;
+  for (int r = 0; r < C; ++r) {
+    const long E = dp.E_r[r];
+    std::fill(d_tilde.begin(), d_tilde.end(), 0.0f);
+    if (E > 0) {
+      // Section 5.4.2.2 inverse: e[i*(E/Q_m) + j] = f[i + j*Q_m]
+      const long EoQ = E / Q;
+      std::vector<float> e_t(E);
+      for (long jj = 0; jj < EoQ; ++jj)
+        for (int i = 0; i < Q; ++i)
+          e_t[i * EoQ + jj] = g_tilde[in_pos + i + jj * Q];
+      in_pos += E;
+      // Section 5.4.2.1 inverse: literal scatter-accumulate along the
+      // filler-skipping circular read (Chase combining of repeats in
+      // ascending wrap order, NRLDPCDecoder.m:228-234).
+      long k = 0, j = 0;
+      while (k < E) {
+        long pos = (dp.k0 + j) % N_cb;
+        if (!(pos >= f_lo && pos < f_hi)) d_tilde[pos] += e_t[k++];
+        ++j;
       }
     }
-    for (int k = 0; k < nv; ++k)
-      totals[k] = touched[k] ? llr[k] + acc[k] : llr[k];
-    ++updates;
+    if (use_harq)
+      for (long i = 0; i < N_cb; ++i) d_tilde[i] += d_buf[(long)r * N_cb + i];
+    for (long i = 0; i < N_cb; ++i) d_buf[(long)r * N_cb + i] = d_tilde[i];
+
+    // Rebuild the codeword LLRs: 2Z punctured zeros + d, fillers pinned.
+    for (int i = 0; i < 2 * Z; ++i) cw_llr[i] = 0.0f;
+    for (long i = 0; i < N; ++i) cw_llr[2 * Z + i] = d_tilde[i];
+    for (long i = K_prime; i < K; ++i) cw_llr[i] = FILLER_LLR;
+
+    int ok = 0, used = 0;
+    rc = decode_core_impl(BG, Z, iterations, algorithm, alpha, beta,
+                          cw_llr.data(), bits.data(), &ok, &used, nullptr);
+    if (rc != 0) return rc;
+    parity_ok[r] = ok;
+    iters_used[r] = used;
+
+    // Section 5.2.2 inverse: CB CRC gate (only when C > 1) + CBGTI schedule.
+    bool crc_ok;
+    if (C > 1) {
+      std::memcpy(cbword.data(), bits.data(), K_prime);
+      crc_ok = crc_passes(cbword.data(), (int)K_prime, crc24b);
+    } else {
+      crc_ok = true;
+    }
+    cb_crc_ok[r] = crc_ok;
+    const bool accept = crc_ok && dp.flags[r];
+    if (accept) {
+      std::memcpy(b_buf + (long)r * payload, bits.data(), payload);
+      cb_ok[r] = 1;
+    }
   }
-  for (int k = 0; k < nv; ++k) bits_out[k] = totals[k] < 0.0f;
+
+  // Section 5.1 inverse: TB CRC over the merged buffer + all-latched gate.
+  bool all_latched = true;
+  for (int r = 0; r < C; ++r) all_latched &= (cb_ok[r] != 0);
+  *tb_ok = all_latched && crc_passes(b_buf, (int)dp.B, *dp.tb_poly);
+  std::memcpy(a_hat, b_buf, A);
   return 0;
 }
 
 // Convenience: expose derived parameters for cross-checking the Python engine.
 int nr_golden_params(int BG, int A, long G, int Q_m, int N_L, int rv_id,
                      int I_LBRM, long TBS_LBRM, long *out /* 8 slots */) {
-  const CrcPoly &tb_poly = (A > 3824) ? crc24a : crc16;
-  long B = A + tb_poly.len;
-  long K_cb = (BG == 1) ? 8448 : 3840;
-  int C = (B <= K_cb) ? 1 : (int)((B + (K_cb - 24) - 1) / (K_cb - 24));
-  int L_cb = (B <= K_cb) ? 0 : 24;
-  long B_prime = (B <= K_cb) ? B : B + (long)C * L_cb;
-  if (B_prime % C != 0) return -3;
-  long K_prime = B_prime / C;
-  int K_b;
-  if (BG == 1) K_b = 22;
-  else if (K_prime > 640) K_b = 10;
-  else if (K_prime > 560) K_b = 9;
-  else if (K_prime > 192) K_b = 8;
-  else K_b = 6;
-  int i_ls;
-  int Z = lifting_size(K_b, (int)K_prime, &i_ls);
-  if (Z < 0) return -4;
-  out[0] = C;
-  out[1] = K_prime;
-  out[2] = K_b;
-  out[3] = Z;
-  out[4] = i_ls;
-  out[5] = (long)((BG == 1) ? 22 : 10) * Z;
-  out[6] = (long)((BG == 1) ? 66 : 50) * Z;
-  out[7] = B;
+  Derived dp;
+  int rc = derive(BG, A, G, Q_m, N_L, rv_id, I_LBRM, TBS_LBRM, nullptr, 0,
+                  &dp);
+  if (rc != 0) return rc;
+  out[0] = dp.C;
+  out[1] = dp.K_prime;
+  out[2] = dp.K_b;
+  out[3] = dp.Z;
+  out[4] = dp.i_ls;
+  out[5] = dp.K;
+  out[6] = dp.N;
+  out[7] = dp.B;
   return 0;
 }
 

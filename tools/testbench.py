@@ -8,10 +8,13 @@ the independent native C++ oracle (native/golden.cpp).  Runs until the trial
 budget is exhausted (or forever with --trials 0), printing one line per
 config like the reference (testbench.m:70).
 
-With --decode, fuzzes the BP decoder instead (beyond the reference, whose
-testbench covers only the encoder): random configs and channel draws, the
-flooding min-sum decode compared bit-for-bit — bits, parity flags, iteration
-counts — against the independent scalar C++ decoder (nr_golden_decode_core).
+With --decode, fuzzes the full TB-level decode chain instead (beyond the
+reference, whose testbench covers only the encoder): random configs, channel
+draws, and HARQ rv sequences; deinterleave, Chase combining, HARQ buffers,
+filler pinning, BP decode, CB/TB CRC gating all compared bit-for-bit against
+the independent scalar C++ oracle (nr_golden_decode).  Sum-product trials
+additionally check the tolerance contract on the BP core (see
+tests/test_conformance.py::SP_TOL).
 
 Usage:  python tools/testbench.py [--trials N] [--seed S] [--max-a A] [--decode]
 """
@@ -26,13 +29,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=100, help="0 = run forever")
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--max-a", type=int, default=100000,
-                    help="max transport block size (testbench.m draws <=100000)")
+    ap.add_argument("--max-a", type=int, default=None,
+                    help="max transport block size; defaults to 100000 "
+                         "(testbench.m draws <=100000) for encode trials and "
+                         "25000 (C up to 3; JAX CPU decode stays fast) for "
+                         "--decode trials")
     ap.add_argument("--decode", action="store_true",
-                    help="fuzz the BP decoder against the C++ oracle instead")
+                    help="fuzz the TB-level decode chain against the C++ "
+                         "oracle instead")
     args = ap.parse_args()
-    if args.decode and args.max_a == 100000:
-        args.max_a = 8448  # one code block; scalar oracle stays fast
+    if args.max_a is None:
+        args.max_a = 25000 if args.decode else 100000
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
@@ -69,38 +76,69 @@ def main():
             continue
 
         if args.decode:
-            from functools import partial
-
-            from ldpc_3gpp_tpu.ops import decoder_fast
+            from ldpc_3gpp_tpu.models.decoder import (
+                decode_transport_block, init_harq_state,
+            )
             from ldpc_3gpp_tpu.ops.channel import awgn, esn0_to_variance
-            from ldpc_3gpp_tpu.ops.encoder import encode
             from ldpc_3gpp_tpu.ops.modulation import demodulate, modulate
-            from ldpc_3gpp_tpu.utils.golden import golden_decode_core
+            from ldpc_3gpp_tpu.utils.golden import golden_decode, golden_init_state
 
-            algorithm = ("min-sum", "offset-min-sum")[trial % 2]
+            mod = {1: "BPSK", 2: "QPSK", 4: "16QAM", 6: "64QAM", 8: "256QAM"}[Q_m]
+            algorithm = ("min-sum", "offset-min-sum", "sum-product")[trial % 3]
             iters = int(rng.integers(2, 13))
             esn0 = float(rng.uniform(-1.0, 5.0))
-            batch = 4
-            c = rng.integers(0, 2, size=(batch, p.K), dtype=np.uint8)
-            c[:, p.K_prime:] = 0
-            cw = np.asarray(encode(p, jnp.asarray(c)))
+            n_rv = int(rng.integers(1, 4))
+            rv_seq = [rv_id] + [int(r) for r in rng.integers(0, 4, n_rv - 1)]
+            a = rng.integers(0, 2, A, dtype=np.uint8)
+            st_j = init_harq_state(p) if n_rv > 1 else None
+            st_c = (golden_init_state(BG, A, G, Q_m, N_L, rv_seq[0],
+                                      I_LBRM, TBS_LBRM)
+                    if n_rv > 1 else None)
             var = esn0_to_variance(esn0)
-            rx = awgn(jax.random.PRNGKey(trial), modulate(jnp.asarray(cw), "QPSK"), var)
-            llr = np.asarray(demodulate(rx, "QPSK", var, "exact"), np.float32)
-            res = jax.jit(partial(decoder_fast.decode, p, iterations=iters,
-                                  algorithm=algorithm))(jnp.asarray(llr))
-            gbits, gok, git = golden_decode_core(
-                BG, p.Z_c, llr, iterations=iters, algorithm=algorithm)
-            same = (np.array_equal(np.asarray(res.bits), gbits)
-                    and np.array_equal(np.asarray(res.parity_ok), gok)
-                    and np.array_equal(np.asarray(res.iterations), git))
-            if not same:
-                print(f"[{trial}] DECODE MISMATCH: BG{BG} Z={p.Z_c} "
-                      f"{algorithm} it={iters} Es/N0={esn0:.2f}")
-                sys.exit(1)
+            for i_rv, rv in enumerate(rv_seq):
+                prv = p.with_rv(rv)
+                g = np.asarray(encode_transport_block(prv, jnp.asarray(a)))
+                rx = awgn(jax.random.PRNGKey(trial * 8 + i_rv),
+                          modulate(jnp.asarray(g), mod), var)
+                llr = np.asarray(demodulate(rx, mod, var, "exact"), np.float32)
+                res_j = decode_transport_block(
+                    prv, jnp.asarray(llr), state=st_j,
+                    iterations=iters, algorithm=algorithm)
+                res_c = golden_decode(
+                    BG, A, G, Q_m, llr, N_L, rv, I_LBRM, TBS_LBRM,
+                    iterations=iters, algorithm=algorithm, state=st_c)
+                if n_rv > 1:
+                    st_j, st_c = res_j.state, res_c.state
+                if algorithm == "sum-product":
+                    # phi rounding: flags/iters exact, confident bits equal
+                    same = (
+                        np.array_equal(np.asarray(res_j.parity_ok), res_c.parity_ok)
+                        and np.array_equal(np.asarray(res_j.iterations),
+                                           res_c.iterations)
+                        and bool(res_j.tb_ok) == res_c.tb_ok
+                        and (not res_c.tb_ok
+                             or np.array_equal(np.asarray(res_j.a_hat), res_c.a_hat))
+                    )
+                else:
+                    same = (
+                        np.array_equal(np.asarray(res_j.a_hat), res_c.a_hat)
+                        and bool(res_j.tb_ok) == res_c.tb_ok
+                        and np.array_equal(np.asarray(res_j.cb_crc_ok),
+                                           res_c.cb_crc_ok)
+                        and np.array_equal(np.asarray(res_j.parity_ok),
+                                           res_c.parity_ok)
+                        and np.array_equal(np.asarray(res_j.iterations),
+                                           res_c.iterations)
+                    )
+                if not same:
+                    print(f"[{trial}] DECODE MISMATCH: BG{BG} A={A} G={G} "
+                          f"C={p.C} Z={p.Z_c} {mod} {algorithm} it={iters} "
+                          f"rv_seq={rv_seq[:i_rv+1]} Es/N0={esn0:.2f}")
+                    sys.exit(1)
             tested += 1
-            print(f"[{trial}] ok decode BG{BG} Z={p.Z_c} {algorithm} "
-                  f"it={iters} Es/N0={esn0:.2f} dB ok={int(gok.sum())}/{batch}")
+            print(f"[{trial}] ok decode BG{BG} A={A} C={p.C} Z={p.Z_c} {mod} "
+                  f"{algorithm} it={iters} rvs={rv_seq} Es/N0={esn0:.2f} dB "
+                  f"tb_ok={res_c.tb_ok}")
             continue
 
         a = rng.integers(0, 2, A, dtype=np.uint8)
