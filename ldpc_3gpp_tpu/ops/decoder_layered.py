@@ -123,14 +123,42 @@ def decode(
         return (it <= iterations) & ~jnp.all(done)
 
     c2v0 = jnp.zeros((E,) + batch_shape + (Z,), jnp.float32) + zero_b[..., None]
-    done0 = zero_b > 1.0
-    used0 = zero_b.astype(jnp.int32)
-    it, totals, _, done, used = jax.lax.while_loop(
-        cond, sweep, (jnp.asarray(0, jnp.int32), totals0, c2v0, done0, used0)
-    )
-    used = jnp.where(done, used, iterations)
-    if not early_termination:
-        # the schedule always terminates early; report the full budget
+
+    if early_termination:
+        done0 = zero_b > 1.0
+        used0 = zero_b.astype(jnp.int32)
+        it, totals, _, done, used = jax.lax.while_loop(
+            cond, sweep, (jnp.asarray(0, jnp.int32), totals0, c2v0, done0, used0)
+        )
+        used = jnp.where(done, used, iterations)
+    else:
+        # Run-to-budget semantics (matches ops/decoder_fast and the Pallas
+        # kernel with early_termination=False): exactly `iterations` update
+        # sweeps with no freezing, bits from the final totals, parity flag
+        # = the clean syndrome of that settled final state.
+        def sweep_full(state):
+            it, totals, c2v_arr = state
+            for r in range(nr):
+                edges = by_row[r]
+                t = [jnp.roll(totals[c], -s, axis=-1) for (_, c, s) in edges]
+                v = [te - c2v_arr[e] for te, (e, _, _) in zip(t, edges)]
+                nm = _check_messages(v, algorithm, alpha, beta)
+                for i, (ve, (e, c, s)) in enumerate(zip(v, edges)):
+                    c2v_arr = c2v_arr.at[e].set(nm[i])
+                    totals = totals.at[c].set(jnp.roll(ve + nm[i], s, axis=-1))
+            return it + 1, totals, c2v_arr
+
+        _, totals, _ = jax.lax.while_loop(
+            lambda s: s[0] < iterations, sweep_full,
+            (jnp.asarray(0, jnp.int32), totals0, c2v0),
+        )
+        done = zero_b > -1.0  # all True
+        for r in range(nr):
+            par = None
+            for (_, c, s) in by_row[r]:
+                bit = jnp.roll(totals[c], -s, axis=-1) < 0
+                par = bit if par is None else par ^ bit
+            done = done & jnp.all(~par, axis=-1)
         used = jnp.full(batch_shape, iterations, jnp.int32)
 
     bits = (jnp.moveaxis(totals, 0, -2) < 0).reshape(batch_shape + (nc * Z,))

@@ -29,7 +29,11 @@ loop is ~99% of runtime).  Design:
 - **Early termination**: per-row parity of the current totals accumulates
   while the sweep runs (no extra rotations, lane-masked to z < Z); a sweep
   whose every row is satisfied marks the codeword done and freezes its
-  state; the kernel's while_loop exits when the whole tile is done.
+  state; the kernel's while_loop exits when the whole tile is done.  With
+  ``early_termination=False`` the kernel instead runs exactly
+  ``iterations`` update sweeps with no freezing or latching (skipping the
+  per-sweep parity work entirely) and reports the syndrome of the final
+  state — the same run-to-budget trajectory as ops/decoder_fast.
 
 Padding discipline: the caller pads each column block from Z to W lanes
 with a large positive LLR; rotated reads only ever consume lanes < Z, and
@@ -233,7 +237,8 @@ def _check_messages(v, algorithm, alpha, beta, Bt, W):
 
 def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                  schedule: str, alpha: float, beta: float, Bt: int,
-                 dtype=jnp.float32, P: int = 1):
+                 dtype=jnp.float32, P: int = 1, early_termination: bool = True):
+    et = early_termination
     by_row, _ = _row_plan(params)
     nc, nr, Z = params.num_cols, params.num_rows, params.Z_c
     W = _pad_width(max(P, 1) * Z)
@@ -286,7 +291,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
         for c in range(nc):
             col = llr_ref[:, c * W : (c + 1) * W]
             totals[c] = _roll_fwd(col, col_shift.get(c, 0), Z, W, phase)
-            if not flooding:
+            if not flooding and et:
                 # iterations == 0 must output the channel hard decision
                 out_vals[c] = totals[c]
         c2v[...] = jnp.zeros((E, Bt, W), dtype)
@@ -332,7 +337,10 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                 # the final pass it == iterations, which exists only to
                 # check the syndrome of the last permitted update) so its
                 # trajectory matches ops/decoder_fast sweep for sweep.
-                keep = jnp.logical_or(done > 0.5, it >= iterations)
+                # With early termination off nothing ever freezes: the loop
+                # runs exactly `iterations` update sweeps (cond below).
+                if et:
+                    keep = jnp.logical_or(done > 0.5, it >= iterations)
                 for c in range(nc):
                     acc[c] = jnp.zeros((Bt, W), jnp.float32)
             for r in range(nr):
@@ -348,7 +356,8 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                         for (_, c, _), d in zip(edges, deltas[r])
                     ]
                 # on-the-fly parity of current totals (early termination)
-                bad_bits = row_parity(t, bad_bits)
+                if et:
+                    bad_bits = row_parity(t, bad_bits)
 
                 v = [
                     te - c2v[e].astype(jnp.float32)
@@ -357,7 +366,10 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                 nm = _check_messages(v, algorithm, alpha, beta, Bt, W)
                 for i, (ve, (e, c, s)) in enumerate(zip(v, edges)):
                     if flooding:
-                        c2v[e] = jnp.where(keep, c2v[e], nm[i].astype(dtype))
+                        if et:
+                            c2v[e] = jnp.where(keep, c2v[e], nm[i].astype(dtype))
+                        else:
+                            c2v[e] = nm[i].astype(dtype)
                         acc[c] = acc[c] + _roll_bwd(nm[i], s, Z, W, phase)
                     else:
                         # Layered: updates run unfrozen — finished codewords
@@ -368,6 +380,13 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                         # COLUMN per sweep).
                         c2v[e] = nm[i].astype(dtype)
                         totals[c] = ve + nm[i]
+            if not et:
+                # run-to-budget: apply the update unconditionally, nothing
+                # freezes or latches, flags/counters are settled post-loop
+                if flooding:
+                    for c in range(nc):
+                        totals[c] = llr_ref[:, c * W : (c + 1) * W] + acc[c]
+                return it + 1, done, used
             sweep_ok = reduce_ok(bad_bits)
             newly = jnp.maximum(done, sweep_ok) - done  # {0,1}
             if flooding:
@@ -395,6 +414,8 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
 
         def cond(carry):
             it, done, _ = carry
+            if not et:
+                return it < iterations  # exactly `iterations` update sweeps
             limit = iterations if flooding else iterations - 1
             return (it <= limit) & (jnp.min(done) < 0.5)
 
@@ -407,6 +428,33 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
         it_final, done, used = jax.lax.while_loop(
             cond, sweep, (jnp.asarray(0, jnp.int32), done0, done0 * 0.0)
         )
+
+        if not et:
+            # Run-to-budget semantics (ops/decoder_fast early_termination=
+            # False): bits from the FINAL totals, parity flag = the syndrome
+            # of that final state, iteration count = the full budget.
+            it_ref[...] = jnp.full(it_ref.shape, iterations, jnp.int32)
+            bad_bits = jnp.zeros((Bt, W), jnp.int32)
+            for r in range(nr):
+                t = [
+                    _roll_fwd(
+                        totals[c],
+                        s if flooding else (s - col_shift[c]) % Z,
+                        Z, W, phase,
+                    )
+                    for (_, c, s) in by_row[r]
+                ]
+                bad_bits = row_parity(t, bad_bits)
+            ok_ref[...] = reduce_ok(bad_bits).astype(jnp.int32)
+            for c in range(nc):
+                val = (
+                    totals[c]
+                    if flooding
+                    else _roll_bwd(totals[c], col_shift.get(c, 0), Z, W, phase)
+                )
+                bits_ref[:, c * W : (c + 1) * W] = (val < 0.0).astype(jnp.int8)
+            return
+
         # codewords never done used the full budget
         used = jnp.where(done > 0.5, used, float(iterations))
         it_ref[...] = used.astype(jnp.int32)
@@ -449,13 +497,14 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
 @functools.lru_cache(maxsize=None)
 def _build(params: LDPCParams, iterations: int, algorithm: str, schedule: str,
            alpha: float, beta: float, Bt: int, interpret: bool = False,
-           dtype_name: str = "float32", P: int = 1):
+           dtype_name: str = "float32", P: int = 1,
+           early_termination: bool = True):
     nc, Z = params.num_cols, params.Z_c
     W = _pad_width(max(P, 1) * Z)
     E = len(params.edges[0])
     dtype = jnp.dtype(dtype_name)
     kernel = _make_kernel(params, iterations, algorithm, schedule, alpha, beta,
-                          Bt, dtype, P)
+                          Bt, dtype, P, early_termination)
     flooding = schedule == "flooding"
     outw = W if P > 1 else 1  # per-lane flags for packed tiles
 
@@ -595,7 +644,8 @@ def decode(
         )
 
     call = _build(params, iterations, algorithm, schedule, alpha, beta,
-                  batch_tile, interpret, dtype_name=jnp.dtype(dtype).name, P=P)
+                  batch_tile, interpret, dtype_name=jnp.dtype(dtype).name, P=P,
+                  early_termination=early_termination)
     bits, ok, iters = call(flat)
 
     if P > 1:
@@ -615,7 +665,4 @@ def decode(
     bits = bits.reshape(batch_shape + (nc * Z,))
     ok = ok.astype(bool).reshape(batch_shape)
     iters = iters.reshape(batch_shape)
-    if not early_termination:
-        # the kernel always terminates early; report the full budget
-        iters = jnp.full(batch_shape, iterations, jnp.int32)
     return DecodeResult(bits=bits, parity_ok=ok, iterations=iters)

@@ -189,6 +189,49 @@ def test_lane_packing_matches_unpacked():
         np.testing.assert_array_equal(np.asarray(packed.bits), cw)
 
 
+@pytest.mark.parametrize("early_termination", [True, False])
+def test_early_termination_flag_cross_backend(early_termination):
+    """Both flag values give the same semantics on every backend.
+
+    early_termination=False means run-to-budget: exactly `iterations`
+    update sweeps with nothing frozen, bits from the final state, parity =
+    its syndrome, iteration count = the full budget — NOT
+    early-stop-with-relabeled counters.  The operating point mixes
+    codewords converging at different sweep counts, so the ET=True counters
+    vary while ET=False must report the full budget; bits/flags/counters
+    are pinned exactly against the matching XLA oracle for BOTH values
+    (flooding vs decoder_fast, layered vs decoder_layered)."""
+    from ldpc_3gpp_tpu.ops.decoder_layered import decode as decode_layered
+
+    p = LDPCParams(BG=2, A=400, G=1200, Q_m=2)  # Z=52
+    cw, llr = _noisy_llrs(p, 16, 0.0, key=77)
+    for schedule, oracle in (
+        ("flooding", decode_fast),
+        ("layered", decode_layered),
+    ):
+        rk = jax.jit(
+            partial(decode_pallas, p, iterations=6, algorithm="min-sum",
+                    schedule=schedule, interpret=True,
+                    early_termination=early_termination)
+        )(llr)
+        rf = jax.jit(
+            partial(oracle, p, iterations=6, algorithm="min-sum",
+                    early_termination=early_termination)
+        )(llr)
+        np.testing.assert_array_equal(np.asarray(rk.bits), np.asarray(rf.bits))
+        np.testing.assert_array_equal(
+            np.asarray(rk.parity_ok), np.asarray(rf.parity_ok)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rk.iterations), np.asarray(rf.iterations)
+        )
+        if early_termination:
+            # the point must actually discriminate: varied convergence times
+            assert np.unique(np.asarray(rk.iterations)).size > 1
+        else:
+            assert (np.asarray(rk.iterations) == 6).all()
+
+
 def test_rejects_tiny_z():
     p = LDPCParams(BG=2, A=20, G=60, Q_m=2)  # Z < 8
     assert p.Z_c < 8
