@@ -232,10 +232,15 @@ def snr_vs_a(
     steps_per_call: int = 1,
     max_blocks_per_point: int = 1_000_000,
     results_dir: str = "results",
+    resume: bool = False,
     verbose: bool = True,
     **chain_kw,
 ) -> Dict[float, List[Tuple[int, float]]]:
-    """Required Es/N0 at target BLER vs A; defaults match plot_SNR_vs_A.m:37-49."""
+    """Required Es/N0 at target BLER vs A; defaults match plot_SNR_vs_A.m:37-49.
+
+    ``resume=True`` skips A values already present in the results file
+    (append-per-point crash recovery, same contract as ``bler_vs_snr``).
+    """
     os.makedirs(results_dir, exist_ok=True)
     out: Dict[float, List[Tuple[int, float]]] = {}
     for r_i in rate:
@@ -244,9 +249,21 @@ def snr_vs_a(
             f"SNR_vs_A_{target_bler:g}_{r_i:g}_{bg}_{modulation}_"
             f"{iterations}_{target_block_errors}_{seed}.txt",
         )
+        done_as: Dict[int, float] = {}
+        if resume and os.path.exists(fname):
+            with open(fname) as fid:
+                for line in fid:
+                    a_s, e_s = line.split()
+                    done_as[int(a_s)] = float(e_s)
         curve: List[Tuple[int, float]] = []
-        with open(fname, "w") as fid:
+        with open(fname, "a" if resume else "w") as fid:
             for a_i in A:
+                if a_i in done_as:
+                    curve.append((a_i, done_as[a_i]))
+                    if verbose:
+                        print(f"resume: skipping A={a_i} "
+                              f"(required Es/N0 = {done_as[a_i]:.3f} dB)")
+                    continue
                 try:
                     cfg = _make_config(
                         a_i, r_i, bg, modulation, rv_sequence, iterations,

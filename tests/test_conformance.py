@@ -330,6 +330,45 @@ def test_sum_product_core_vs_oracle(bg, A, G, esn0):
     _assert_sp_core_equal(res, gbits, gok, git, gtot)
 
 
+@pytest.mark.slow
+def test_encoder_deep_segmentation_vs_oracle():
+    """A = 99,996 (testbench.m:22 scale): 12-code-block segmentation,
+    LBRM, and high-order modulation interleaving, bit-exact vs the oracle."""
+    from ldpc_3gpp_tpu.models.encoder import encode_transport_block
+    from ldpc_3gpp_tpu.utils.golden import golden_encode
+
+    rng = np.random.default_rng(1234)
+    A, Q_m = 99996, 8
+    G = int(round(A / 0.8 / Q_m) * Q_m)
+    p = LDPCParams(BG=1, A=A, G=G, Q_m=Q_m, rv_id=1,
+                   I_LBRM=1, TBS_LBRM=120000)
+    assert p.C == 12
+    a = rng.integers(0, 2, A, dtype=np.uint8)
+    g_jax = np.asarray(encode_transport_block(p, jnp.asarray(a)))
+    g_gold = golden_encode(1, A, G, Q_m, a, rv_id=1, I_LBRM=1,
+                           TBS_LBRM=120000)
+    np.testing.assert_array_equal(g_jax, g_gold)
+
+
+@pytest.mark.slow
+def test_tb_decode_deep_segmentation_vs_oracle():
+    """Long-A TB decode (C = 12, Z = 384) bit-exact vs the oracle."""
+    from ldpc_3gpp_tpu.models.decoder import decode_transport_block
+    from ldpc_3gpp_tpu.utils.golden import golden_decode
+
+    rng = np.random.default_rng(888)
+    A = 99996
+    G = 3 * A
+    p = LDPCParams(BG=1, A=A, G=G, Q_m=2)
+    assert p.C == 12 and p.Z_c == 384
+    _, llr = _tb_llrs(p, rng, esn0=1.5)
+    res_j = decode_transport_block(p, jnp.asarray(llr), iterations=8,
+                                   algorithm="min-sum")
+    res_c = golden_decode(1, A, G, 2, llr, iterations=8, algorithm="min-sum")
+    _assert_tb_equal(res_j, res_c)
+    assert res_c.tb_ok  # R=1/3 at 1.5 dB decodes within the budget
+
+
 def test_sum_product_tb_decode_vs_oracle():
     """TB-level SP agreement at a converging operating point (fixed seed)."""
     from ldpc_3gpp_tpu.models.decoder import decode_transport_block

@@ -1,0 +1,134 @@
+"""COMPILED pallas-kernel conformance on real TPU hardware.
+
+The CPU suite exercises the kernel only in interpret mode
+(tests/test_decoder_pallas.py); a Mosaic miscompile on a new jaxlib would
+pass it and surface only as a silently shifted waterfall (VERDICT r1).
+These tests run the compiled kernel on the actual chip and assert
+bit-exactness against the XLA oracles — including the exact bench-path
+configuration (BG1 Z=384, layered normalized min-sum).
+
+Run with:  LDPC_TEST_TPU=1 python -m pytest tests/test_tpu_kernel.py -n0
+(-n0: never more than one TPU process; see tests/conftest.py).
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        jax.default_backend() != "tpu", reason="needs a real TPU"
+    ),
+]
+
+from ldpc_3gpp_tpu.ops.channel import awgn, esn0_to_variance
+from ldpc_3gpp_tpu.ops.decoder_fast import decode as decode_fast
+from ldpc_3gpp_tpu.ops.decoder_layered import decode as decode_layered
+from ldpc_3gpp_tpu.ops.decoder_pallas import decode as decode_pallas
+from ldpc_3gpp_tpu.ops.encoder import encode
+from ldpc_3gpp_tpu.ops.modulation import demodulate, modulate
+from ldpc_3gpp_tpu.spec.params import LDPCParams
+
+RNG = np.random.default_rng(7)
+
+# the bench.py configuration: BG1 single code block, Z=384
+P_BENCH = LDPCParams(BG=1, A=8424, G=25272, Q_m=2)
+# padded-Z + lane-packed shape
+P_PACKED = LDPCParams(BG=2, A=400, G=1200, Q_m=2)  # Z=52
+
+
+def _noisy_llrs(p, batch, esn0, key=1):
+    # the whole generation chain is jitted: eager per-op dispatch over the
+    # axon tunnel is ~20 ms/op and some eager ops are unimplemented there
+    c = RNG.integers(0, 2, size=(batch, p.K)).astype(np.uint8)
+    c[:, p.K_prime :] = 0
+
+    @partial(jax.jit, static_argnums=())
+    def gen(cbits, k):
+        cw = encode(p, cbits)
+        tx = modulate(cw, "QPSK")
+        var = esn0_to_variance(esn0)
+        rx = awgn(k, tx, var)
+        return cw, demodulate(rx, "QPSK", var, "exact")
+
+    cw, llr = gen(jnp.asarray(c), jax.random.PRNGKey(key))
+    return np.asarray(cw), llr
+
+
+def _assert_equal(rk, rx):
+    np.testing.assert_array_equal(np.asarray(rk.bits), np.asarray(rx.bits))
+    np.testing.assert_array_equal(
+        np.asarray(rk.parity_ok), np.asarray(rx.parity_ok)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rk.iterations), np.asarray(rx.iterations)
+    )
+
+
+def test_compiled_bench_config_layered_nms():
+    """The exact bench path: compiled layered NMS at BG1 Z=384."""
+    _, llr = _noisy_llrs(P_BENCH, 32, 0.5, key=5)
+    rk = jax.jit(
+        partial(decode_pallas, P_BENCH, iterations=12, algorithm="min-sum",
+                schedule="layered")
+    )(llr)
+    rx = jax.jit(
+        partial(decode_layered, P_BENCH, iterations=12, algorithm="min-sum")
+    )(llr)
+    _assert_equal(rk, rx)
+    # the operating point must exercise a mix of convergence times
+    assert np.unique(np.asarray(rk.iterations)).size > 1
+
+
+@pytest.mark.parametrize("algorithm", ["min-sum", "sum-product"])
+def test_compiled_flooding_vs_fast(algorithm):
+    _, llr = _noisy_llrs(P_PACKED, 16, 1.0, key=11)
+    rk = jax.jit(
+        partial(decode_pallas, P_PACKED, iterations=12, algorithm=algorithm,
+                schedule="flooding")
+    )(llr)
+    rf = jax.jit(
+        partial(decode_fast, P_PACKED, iterations=12, algorithm=algorithm)
+    )(llr)
+    _assert_equal(rk, rf)
+
+
+@pytest.mark.parametrize("early_termination", [True, False])
+def test_compiled_early_termination_flag(early_termination):
+    _, llr = _noisy_llrs(P_PACKED, 16, 0.0, key=77)
+    for schedule, oracle in (
+        ("flooding", decode_fast),
+        ("layered", decode_layered),
+    ):
+        rk = jax.jit(
+            partial(decode_pallas, P_PACKED, iterations=6,
+                    algorithm="min-sum", schedule=schedule,
+                    early_termination=early_termination)
+        )(llr)
+        rx = jax.jit(
+            partial(oracle, P_PACKED, iterations=6, algorithm="min-sum",
+                    early_termination=early_termination)
+        )(llr)
+        _assert_equal(rk, rx)
+
+
+def test_compiled_lane_packing_and_bf16():
+    """Packed lanes and bf16 messages decode correctly when compiled."""
+    cw, llr = _noisy_llrs(P_PACKED, 13, 2.5, key=21)
+    packed = jax.jit(
+        partial(decode_pallas, P_PACKED, iterations=15)
+    )(llr)
+    unpacked = jax.jit(
+        partial(decode_pallas, P_PACKED, iterations=15, lane_pack=1)
+    )(llr)
+    _assert_equal(packed, unpacked)
+    np.testing.assert_array_equal(np.asarray(packed.bits), cw)
+    rb = jax.jit(
+        partial(decode_pallas, P_PACKED, iterations=15,
+                message_dtype="bfloat16")
+    )(llr)
+    assert np.asarray(rb.parity_ok).all()
+    np.testing.assert_array_equal(np.asarray(rb.bits), cw)

@@ -12,6 +12,7 @@ Stages (run all by default, or name a subset):
   spvsms    BLER_SP_vs_MS_BG2_A3842_R13_QPSK_8it.json
   config1   BLER_vs_SNR_BG2_A100_R12_QPSK_50it_minsum.json
   config2   config2_and_harq.json (BG1 A=8448 waterfall + HARQ IR demo)
+  benchcfg  bench_path_bler.json (bench.py config + 64QAM, layered NMS)
   snrvsa    SNR_vs_A_BG1_R13_QPSK_50it_sumproduct.json + txt
 
 Run sequentially in ONE process — never two TPU processes at once (the
@@ -179,6 +180,47 @@ def config2():
     _dump("config2_and_harq.json", out)
 
 
+def benchcfg():
+    """Waterfalls for the throughput-bench configuration (and a 64QAM one).
+
+    The bench (bench.py) measures BG1 A=8424 (C=1, Z=384) R=1/3 QPSK with
+    the layered normalized-min-sum pallas kernel at 12 iterations — these
+    curves put that exact path under a BLER regression gate
+    (tests/test_bler_regression.py), plus a 64QAM config so high-order
+    demod is gated too.
+    """
+    from ldpc_3gpp_tpu.parallel.sweep import bler_vs_snr
+
+    common = dict(
+        iterations=12, target_block_errors=150, target_bler=1e-3,
+        seed=0, algorithm="min-sum", backend="pallas", schedule="layered",
+        batch_per_device=1024, steps_per_call=2, results_dir="results",
+    )
+    qpsk = bler_vs_snr(
+        A=[8424], rate=[1 / 3], bg=[1], modulation="QPSK",
+        esn0_start=-1.25, esn0_delta=0.25, **common,
+    )[(1, 1 / 3, 8424)]
+    qam64 = bler_vs_snr(
+        A=[8424], rate=[1 / 2], bg=[1], modulation="64QAM",
+        esn0_start=10.0, esn0_delta=0.25, **common,
+    )[(1, 1 / 2, 8424)]
+    _dump("bench_path_bler.json", {
+        "description": (
+            "BLER regression anchors for the throughput-bench path: BG1 "
+            "A=8424 (single code block, Z=384), layered normalized min-sum "
+            "(alpha=0.8125) 12 iterations, early termination, measured with "
+            "the pallas kernel on TPU v5e, seed 0, >=150 block "
+            "errors/point.  QPSK at R=1/3 (the bench.py config) and 64QAM "
+            "at R=1/2 (exact-LLR demod gate).  The CPU regression test "
+            "re-simulates mid-waterfall points with backend='fast', "
+            "schedule='layered' — bit-exact to the kernel by "
+            "tests/test_decoder_pallas.py and tests/test_tpu_kernel.py."
+        ),
+        "QPSK_R13": _curve_points(qpsk),
+        "QAM64_R12": _curve_points(qam64),
+    })
+
+
 def snrvsa():
     from ldpc_3gpp_tpu.parallel.sweep import snr_vs_a
 
@@ -202,6 +244,7 @@ STAGES = {
     "spvsms": spvsms,
     "config1": config1,
     "config2": config2,
+    "benchcfg": benchcfg,
     "snrvsa": snrvsa,
 }
 
