@@ -1,5 +1,6 @@
 """System-object-style API: the reference's exact usage pattern must work."""
 import numpy as np
+import pytest
 
 from ldpc_3gpp_tpu.api import (
     AWGNChannel,
@@ -12,6 +13,7 @@ from ldpc_3gpp_tpu.api import (
 RNG = np.random.default_rng(23)
 
 
+@pytest.mark.slow
 def test_reference_driver_loop():
     """Line-for-line port of the plot_BLER_vs_SNR inner loop (single block)."""
     A, G = 1000, 3000

@@ -52,6 +52,7 @@ def _gate_point(sim, batch, curve, reps, target_bler, seed0=1000):
     )
 
 
+@pytest.mark.slow
 def test_mid_waterfall_point_matches_golden():
     with open(GOLDEN) as f:
         g = json.load(f)

@@ -46,10 +46,10 @@ def _roundtrip(p, modulation, esn0, batch=4, iterations=20, state=None, key=0):
     "bg,A,rate,modulation",
     [
         (2, 100, 1 / 2, "QPSK"),
-        (1, 1000, 1 / 3, "QPSK"),
+        pytest.param(1, 1000, 1 / 3, "QPSK", marks=pytest.mark.slow),
         (2, 50, 1 / 4, "BPSK"),
-        (1, 2000, 1 / 2, "16QAM"),
-        (1, 3000, 2 / 3, "64QAM"),
+        pytest.param(1, 2000, 1 / 2, "16QAM", marks=pytest.mark.slow),
+        pytest.param(1, 3000, 2 / 3, "64QAM", marks=pytest.mark.slow),
         (2, 300, 1 / 3, "256QAM"),
     ],
 )
@@ -64,6 +64,7 @@ def test_roundtrip_high_snr(bg, A, rate, modulation):
     np.testing.assert_array_equal(np.asarray(res.a_hat), np.asarray(a))
 
 
+@pytest.mark.slow
 def test_multi_code_block_roundtrip():
     # A=8448 BG1 -> C=2 with CB CRCs; A=20004 -> C=3
     for A in (8448, 20004):
@@ -82,6 +83,7 @@ def test_failure_flags_at_low_snr():
     assert not np.asarray(res.tb_ok).any()
 
 
+@pytest.mark.slow
 def test_harq_chase_combining_gain():
     """A block undecodable in one shot decodes after LLR accumulation."""
     p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
@@ -103,6 +105,7 @@ def test_harq_chase_combining_gain():
     assert successes[-1] >= batch * 3 // 4, successes
 
 
+@pytest.mark.slow
 def test_harq_incremental_redundancy():
     """rv 0 then rv 2 provides new parity and decodes a punctured block."""
     A, Qm = 1000, 2
@@ -126,6 +129,7 @@ def test_harq_incremental_redundancy():
     assert succ[1] > succ[0], succ
 
 
+@pytest.mark.slow
 def test_cbgti_excluded_blocks_come_from_buffer():
     """Retransmission excluding CB 0 still decodes using the latched copy."""
     A = 20004
@@ -175,6 +179,7 @@ def test_simulate_batch_reproducible():
     np.testing.assert_array_equal(r1.tb_ok, r2.tb_ok)
 
 
+@pytest.mark.slow
 def test_lbrm_harq_roundtrip():
     """Limited-buffer rate matching (N_cb < N) with HARQ accumulation."""
     A = 4000

@@ -57,7 +57,10 @@ def test_params_match_oracle():
     assert checked > 100
 
 
-@pytest.mark.parametrize("trial", range(12))
+@pytest.mark.parametrize("trial", [
+    *range(3),
+    *(pytest.param(t, marks=pytest.mark.slow) for t in range(3, 12)),
+])
 def test_encoder_bit_exact_vs_oracle(trial):
     rng = np.random.default_rng(500 + trial)
     while True:
@@ -91,7 +94,9 @@ def test_encoder_bit_exact_with_cbgti():
 
 @pytest.mark.parametrize(
     "bg,A,G,esn0",
-    [(2, 100, 300, 2.0), (2, 640, 1280, 0.0), (1, 1000, 3000, 0.5)],
+    [(2, 100, 300, 2.0),
+     pytest.param(2, 640, 1280, 0.0, marks=pytest.mark.slow),
+     pytest.param(1, 1000, 3000, 0.5, marks=pytest.mark.slow)],
 )
 def test_decoder_bit_exact_vs_oracle(bg, A, G, esn0):
     """Flooding min-sum decode vs the independent native C++ BP decoder.
@@ -182,7 +187,10 @@ def _assert_tb_equal(res_j, res_c, *, state=True):
         )
 
 
-@pytest.mark.parametrize("trial", range(4))
+@pytest.mark.parametrize("trial", [
+    0,
+    *(pytest.param(t, marks=pytest.mark.slow) for t in range(1, 4)),
+])
 def test_tb_decode_bit_exact_vs_oracle(trial):
     """Full decode chain fuzz: random config, min-sum family, bit-exact."""
     from ldpc_3gpp_tpu.models.decoder import decode_transport_block
@@ -213,6 +221,7 @@ def test_tb_decode_bit_exact_vs_oracle(trial):
     _assert_tb_equal(res_j, res_c)
 
 
+@pytest.mark.slow
 def test_tb_decode_harq_sequence_vs_oracle():
     """IR-HARQ retransmissions: LLR + b_hat buffers track the oracle."""
     from ldpc_3gpp_tpu.models.decoder import decode_transport_block, init_harq_state
@@ -300,7 +309,9 @@ def _assert_sp_core_equal(res_j, gbits, gok, git, gtot):
 
 @pytest.mark.parametrize(
     "bg,A,G,esn0",
-    [(2, 100, 300, 2.0), (2, 640, 1280, -1.0), (1, 1000, 3000, 0.5)],
+    [pytest.param(2, 100, 300, 2.0, marks=pytest.mark.slow),
+     pytest.param(2, 640, 1280, -1.0, marks=pytest.mark.slow),
+     (1, 1000, 3000, 0.5)],
 )
 def test_sum_product_core_vs_oracle(bg, A, G, esn0):
     """Flooding sum-product vs the independent scalar phi implementation."""
@@ -369,6 +380,7 @@ def test_tb_decode_deep_segmentation_vs_oracle():
     assert res_c.tb_ok  # R=1/3 at 1.5 dB decodes within the budget
 
 
+@pytest.mark.slow
 def test_sum_product_tb_decode_vs_oracle():
     """TB-level SP agreement at a converging operating point (fixed seed)."""
     from ldpc_3gpp_tpu.models.decoder import decode_transport_block

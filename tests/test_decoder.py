@@ -95,6 +95,7 @@ def test_min_sum_close_to_sum_product():
     assert abs(n_sp - n_ms) <= 6, (n_sp, n_ms)
 
 
+@pytest.mark.slow
 def test_early_termination_budget_exact():
     """Never-converged codewords must get EXACTLY `iterations` updates.
 

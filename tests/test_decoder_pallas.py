@@ -36,6 +36,7 @@ def test_supports():
     assert not supports(LDPCParams(BG=2, A=20, G=60, Q_m=2))  # Z=6
 
 
+@pytest.mark.slow
 def test_decodes_noisy_codewords():
     cw, llr = _noisy_llrs(P128, 16, 2.0)
     r = jax.jit(partial(decode_pallas, P128, iterations=15, interpret=True))(llr)
@@ -43,6 +44,7 @@ def test_decodes_noisy_codewords():
     np.testing.assert_array_equal(np.asarray(r.bits), cw)
 
 
+@pytest.mark.slow
 def test_converges_no_slower_than_flooding():
     """Layered schedule should need <= the flooding iteration count."""
     cw, llr = _noisy_llrs(P128, 8, 2.5, key=3)
@@ -54,12 +56,14 @@ def test_converges_no_slower_than_flooding():
     assert np.asarray(rp.iterations).max() <= np.asarray(rf.iterations).max()
 
 
+@pytest.mark.slow
 def test_failure_reported_at_low_snr():
     cw, llr = _noisy_llrs(P128, 8, -10.0, key=4)
     r = jax.jit(partial(decode_pallas, P128, iterations=5, interpret=True))(llr)
     assert not np.asarray(r.parity_ok).any()
 
 
+@pytest.mark.slow
 def test_batch_padding():
     """Batch not a multiple of the tile is padded and unpadded transparently."""
     cw, llr = _noisy_llrs(P128, 5, 3.0, key=5)
@@ -68,6 +72,7 @@ def test_batch_padding():
     np.testing.assert_array_equal(np.asarray(r.bits), cw)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("algorithm", ["min-sum", "sum-product", "offset-min-sum"])
 def test_flooding_schedule_bit_exact_vs_fast(algorithm):
     """kernel(schedule='flooding') must reproduce decoder_fast exactly:
@@ -100,6 +105,7 @@ def test_padded_z_lane_wraparound():
     np.testing.assert_array_equal(np.asarray(r.bits), cw)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("algorithm", ["min-sum", "sum-product"])
 def test_layered_schedule_bit_exact_vs_xla_layered(algorithm):
     """kernel(schedule='layered') must reproduce the XLA layered oracle
@@ -126,6 +132,7 @@ def test_layered_schedule_bit_exact_vs_xla_layered(algorithm):
         )
 
 
+@pytest.mark.slow
 def test_bf16_messages_decode():
     """bf16 decoder state (message_dtype='bfloat16') still corrects noisy
     codewords; it is a VMEM/throughput knob, not a semantics change."""
@@ -155,6 +162,7 @@ def test_bf16_rejects_sum_product():
         )
 
 
+@pytest.mark.slow
 def test_lane_packing_matches_unpacked():
     """Packed decoding (P codewords per lane-axis tile) is bit-identical,
     codeword for codeword, to lane_pack=1 — including parity flags,
@@ -189,6 +197,7 @@ def test_lane_packing_matches_unpacked():
         np.testing.assert_array_equal(np.asarray(packed.bits), cw)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("early_termination", [True, False])
 def test_early_termination_flag_cross_backend(early_termination):
     """Both flag values give the same semantics on every backend.

@@ -39,6 +39,7 @@ def _params_for_Z(bg: int, Z: int) -> LDPCParams:
     return p
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("bg", [1, 2])
 def test_parity_all_lifting_sizes(bg):
     """Every (BG, Z) combo yields codewords with zero syndrome."""

@@ -11,6 +11,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import Mesh
 
 from ldpc_3gpp_tpu.models.chain import ChainConfig
@@ -44,6 +45,7 @@ def test_counters_deterministic():
     assert a == b
 
 
+@pytest.mark.slow
 def test_psum_matches_manual_aggregation():
     """Mesh counters == sum of per-shard simulate_batch runs on one device.
 
@@ -73,6 +75,7 @@ def test_psum_matches_manual_aggregation():
     assert manual == total
 
 
+@pytest.mark.slow
 def test_per_device_rng_differs():
     """Devices must not simulate identical noise (fold_in by axis_index)."""
     p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
@@ -88,6 +91,7 @@ def test_per_device_rng_differs():
     assert multiples < 4, "per-device counters look identical across the mesh"
 
 
+@pytest.mark.slow
 def test_two_process_distributed_counters(tmp_path):
     """Real jax.distributed over two local processes: both workers must see
     the same globally psum-reduced counters (the multi-host invariant of

@@ -26,6 +26,18 @@ CFG = dict(
 )
 
 
+def test_bler_vs_snr_smoke(tmp_path):
+    """Quick-tier driver smoke: one tiny config end to end, file written."""
+    out = bler_vs_snr(A=[100], rate=[1 / 2], bg=[2], modulation="QPSK",
+                      iterations=4, algorithm="min-sum", batch_per_device=16,
+                      seed=1, verbose=False, target_block_errors=2,
+                      target_bler=0.5, esn0_start=4.0, esn0_delta=1.0,
+                      results_dir=str(tmp_path))
+    pts = out[(2, 1 / 2, 100)]
+    assert pts and pts[-1].bler <= 0.5
+    assert len(os.listdir(str(tmp_path))) == 1
+
+
 @pytest.mark.slow
 def test_bler_vs_snr_waterfall_and_resume(tmp_path):
     d = str(tmp_path)
