@@ -81,8 +81,17 @@ def decode(
     alpha: float = 0.8125,
     beta: float = 0.15,
     early_termination: bool = True,
+    layer_order="reversed",
 ) -> DecodeResult:
-    """Layered BP decode of (..., num_cols*Z) LLRs (XLA, any backend)."""
+    """Layered BP decode of (..., num_cols*Z) LLRs (XLA, any backend).
+
+    ``layer_order`` ('reversed' default / 'natural' / explicit tuple) is the
+    row processing order, shared with the pallas kernel — see
+    ops/decoder_pallas.py::_resolve_layer_order for the measured rationale.
+    """
+    from .decoder_pallas import _resolve_layer_order
+
+    row_seq = _resolve_layer_order(params, layer_order)
     Z = params.Z_c
     nc, nr = params.num_cols, params.num_rows
     assert llr.shape[-1] == nc * Z
@@ -99,7 +108,7 @@ def decode(
         it, totals, c2v_arr, done, used = state
         keep = (done | (it >= iterations))[..., None]  # (..., 1)
         sweep_ok = zero_b > -1.0  # all True
-        for r in range(nr):
+        for r in row_seq:
             edges = by_row[r]
             t = [jnp.roll(totals[c], -s, axis=-1) for (_, c, s) in edges]
             par = None
@@ -138,7 +147,7 @@ def decode(
         # = the clean syndrome of that settled final state.
         def sweep_full(state):
             it, totals, c2v_arr = state
-            for r in range(nr):
+            for r in row_seq:
                 edges = by_row[r]
                 t = [jnp.roll(totals[c], -s, axis=-1) for (_, c, s) in edges]
                 v = [te - c2v_arr[e] for te, (e, _, _) in zip(t, edges)]
@@ -153,7 +162,7 @@ def decode(
             (jnp.asarray(0, jnp.int32), totals0, c2v0),
         )
         done = zero_b > -1.0  # all True
-        for r in range(nr):
+        for r in row_seq:
             par = None
             for (_, c, s) in by_row[r]:
                 bit = jnp.roll(totals[c], -s, axis=-1) < 0

@@ -235,15 +235,38 @@ def _check_messages(v, algorithm, alpha, beta, Bt, W):
     raise ValueError(f"unsupported algorithm {algorithm}")
 
 
+def _resolve_layer_order(params: LDPCParams, layer_order):
+    """Normalize the layered processing order to a concrete row tuple.
+
+    'reversed' (the default) processes check rows last-to-first: measured
+    8-17% fewer sweeps to convergence than the natural order at the BG1
+    bench operating points (see DESIGN.md section 9) — the low-degree
+    extension rows settle their parity columns before the dense core rows
+    re-read them.  Flooding is order-invariant (every row reads the same
+    pre-sweep totals), so this only affects the layered schedule.
+    """
+    nr = params.num_rows
+    if layer_order == "natural":
+        return tuple(range(nr))
+    if layer_order == "reversed":
+        return tuple(range(nr - 1, -1, -1))
+    order = tuple(int(r) for r in layer_order)
+    if sorted(order) != list(range(nr)):
+        raise ValueError(f"layer_order must permute 0..{nr - 1}")
+    return order
+
+
 def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                  schedule: str, alpha: float, beta: float, Bt: int,
-                 dtype=jnp.float32, P: int = 1, early_termination: bool = True):
+                 dtype=jnp.float32, P: int = 1, early_termination: bool = True,
+                 layer_order=(),):
     et = early_termination
     by_row, _ = _row_plan(params)
     nc, nr, Z = params.num_cols, params.num_rows, params.Z_c
     W = _pad_width(max(P, 1) * Z)
     E = len(params.edges[0])
     flooding = schedule == "flooding"
+    row_seq = list(layer_order) if layer_order else list(range(nr))
 
     # Layered delta-rotation: totals[c] is kept in the check coordinates of
     # the row that last touched column c, so each edge needs a single roll
@@ -257,17 +280,17 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
     col_shift = {}  # column -> shift it rests at between sweeps
     deltas = None
     if not flooding:
-        for r in range(nr):
+        for r in row_seq:
             for (_, c, s) in by_row[r]:
                 col_shift[c] = s
-        deltas = []
+        deltas = {}
         state = dict(col_shift)
-        for r in range(nr):
+        for r in row_seq:
             row_d = []
             for (_, c, s) in by_row[r]:
                 row_d.append((s - state[c]) % Z)
                 state[c] = s
-            deltas.append(row_d)
+            deltas[r] = row_d
         assert state == col_shift  # sweep maps the rest state to itself
 
     packed = P > 1
@@ -343,7 +366,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                     keep = jnp.logical_or(done > 0.5, it >= iterations)
                 for c in range(nc):
                     acc[c] = jnp.zeros((Bt, W), jnp.float32)
-            for r in range(nr):
+            for r in row_seq:
                 edges = by_row[r]
                 if flooding:
                     t = [
@@ -435,7 +458,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
             # of that final state, iteration count = the full budget.
             it_ref[...] = jnp.full(it_ref.shape, iterations, jnp.int32)
             bad_bits = jnp.zeros((Bt, W), jnp.int32)
-            for r in range(nr):
+            for r in row_seq:
                 t = [
                     _roll_fwd(
                         totals[c],
@@ -480,7 +503,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
             @pl.when(jnp.min(done) < 0.5)
             def _final_syndrome():
                 bad_bits = jnp.zeros((Bt, W), jnp.int32)
-                for r in range(nr):
+                for r in row_seq:
                     t = [
                         _roll_fwd(
                             totals[c], (s - col_shift[c]) % Z, Z, W, phase
@@ -498,13 +521,13 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
 def _build(params: LDPCParams, iterations: int, algorithm: str, schedule: str,
            alpha: float, beta: float, Bt: int, interpret: bool = False,
            dtype_name: str = "float32", P: int = 1,
-           early_termination: bool = True):
+           early_termination: bool = True, layer_order=()):
     nc, Z = params.num_cols, params.Z_c
     W = _pad_width(max(P, 1) * Z)
     E = len(params.edges[0])
     dtype = jnp.dtype(dtype_name)
     kernel = _make_kernel(params, iterations, algorithm, schedule, alpha, beta,
-                          Bt, dtype, P, early_termination)
+                          Bt, dtype, P, early_termination, layer_order)
     flooding = schedule == "flooding"
     outw = W if P > 1 else 1  # per-lane flags for packed tiles
 
@@ -564,6 +587,7 @@ def decode(
     interpret: bool = False,
     message_dtype: str = "float32",
     lane_pack: int = 0,
+    layer_order="reversed",
 ) -> DecodeResult:
     """BP decode of (..., num_cols*Z) LLRs fully in VMEM.
 
@@ -579,6 +603,12 @@ def decode(
     Min-sum BLER impact is negligible (bf16 carries 8 mantissa bits;
     classic fixed-point LDPC decoders run at 6); sum-product stays
     f32-only so its trajectory remains bit-exact vs the XLA reference.
+
+    layer_order: layered-schedule row processing order — 'reversed'
+    (default; measured 8-17% fewer sweeps than natural at the BG1 bench
+    points, identical BLER-at-convergence semantics), 'natural' (ascending
+    row index), or an explicit permutation tuple.  Ignored by the flooding
+    schedule, whose trajectory is order-invariant.
 
     lane_pack: codewords packed side by side on the lane axis — P
     codewords share each (Bt, W) tile as independent mod-Z segments at
@@ -643,9 +673,11 @@ def decode(
             [flat, jnp.full((pad, nc * W), _PAD_LLR, jnp.float32)], axis=0
         )
 
+    order = (_resolve_layer_order(params, layer_order)
+             if schedule == "layered" else ())
     call = _build(params, iterations, algorithm, schedule, alpha, beta,
                   batch_tile, interpret, dtype_name=jnp.dtype(dtype).name, P=P,
-                  early_termination=early_termination)
+                  early_termination=early_termination, layer_order=order)
     bits, ok, iters = call(flat)
 
     if P > 1:

@@ -13,6 +13,7 @@ Stages (run all by default, or name a subset):
   config1   BLER_vs_SNR_BG2_A100_R12_QPSK_50it_minsum.json
   config2   config2_and_harq.json (BG1 A=8448 waterfall + HARQ IR demo)
   benchcfg  bench_path_bler.json (bench.py config + 64QAM, layered NMS)
+  surface   SNR_vs_A_surface.json (A x rate x {1e-1,1e-2} x {SP,MS})
   snrvsa    SNR_vs_A_BG1_R13_QPSK_50it_sumproduct.json + txt
 
 Run sequentially in ONE process — never two TPU processes at once (the
@@ -221,6 +222,112 @@ def benchcfg():
     })
 
 
+def surface():
+    """BASELINE config #4: required-Es/N0 surface over A x rate.
+
+    BG1, QPSK, flooding BP at 50 iterations, A = 1000..8000 step 1000,
+    R in {1/5, 1/3, 1/2, 2/3}, both SP and normalized min-sum, 100 block
+    errors per point, 0.1 dB steps.  One downward sweep per (algo, rate, A)
+    records every (Es/N0, BLER) point; the required Es/N0 at BOTH targets
+    (1e-1 and 1e-2) is log-domain-interpolated from the same sweep
+    (plot_SNR_vs_A.m:175 rule), so the 1e-1 surface costs nothing extra.
+    Checkpoints into the artifact after every (algo, rate) so a crash
+    resumes (rerun skips completed entries).
+    """
+    import jax
+
+    from ldpc_3gpp_tpu.parallel.montecarlo import MonteCarlo
+    from ldpc_3gpp_tpu.parallel.sweep import _make_config, _simulate_point
+    from ldpc_3gpp_tpu.spec.tables import UnsupportedParameters
+    from ldpc_3gpp_tpu.utils.rng import fast_key
+    import numpy as np
+
+    path = os.path.join(GOLDEN, "SNR_vs_A_surface.json")
+    out = {
+        "description": (
+            "Required Es/N0 surface (BASELINE config #4): BG1, QPSK, "
+            "flooding BP 50 iterations, early termination, 100 block "
+            "errors/point, 0.1 dB steps, seed 0, TPU v5e pallas kernel. "
+            "A = 1000..8000 step 1000; rates 1/5 (repetition below the "
+            "BG1 mother rate), 1/3, 1/2, 2/3; algorithms sum-product and "
+            "normalized min-sum (alpha=0.8125); targets BLER 1e-1 and "
+            "1e-2 interpolated in the log domain from one sweep per "
+            "config (plot_SNR_vs_A.m:175). delta_ms_minus_sp_db is the "
+            "min-sum penalty at BLER 1e-2 per point."
+        ),
+        "A": list(range(1000, 8001, 1000)),
+        "curves": {},
+    }
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        out["curves"] = prev.get("curves", {})
+    starts = {"0.2": -6.0, "0.333333": -3.5, "0.5": -1.5, "0.666667": 0.5}
+    targets = (1e-1, 1e-2)
+    for algorithm in ("sum-product", "min-sum"):
+        for r_key, rate in (("0.2", 1 / 5), ("0.333333", 1 / 3),
+                            ("0.5", 1 / 2), ("0.666667", 2 / 3)):
+            ckey = f"{algorithm}/{r_key}"
+            if ckey in out["curves"]:
+                print(f"skip {ckey} (already measured)")
+                continue
+            curve = {f"required_esn0_db_at_{t:g}": [] for t in targets}
+            for A in out["A"]:
+                try:
+                    cfg = _make_config(A, rate, 1, "QPSK", (0,), 50,
+                                       algorithm, backend="pallas",
+                                       schedule="flooding")
+                except UnsupportedParameters as e:
+                    for t in targets:
+                        curve[f"required_esn0_db_at_{t:g}"].append(None)
+                    print(f"{ckey} A={A}: skip ({e})")
+                    continue
+                mc = MonteCarlo(cfg, batch_per_device=1024, steps_per_call=2)
+                key = fast_key(0)
+                esn0 = starts[r_key]
+                found = False
+                pts = []  # (esn0, bler)
+                bler = 1.0
+                while bler > min(targets):
+                    pt, found, key = _simulate_point(
+                        mc, key, esn0, 100, found, 2_000_000,
+                        prior_bler=bler if bler < 1 else 0.0)
+                    bler = pt.bler
+                    pts.append((esn0, max(bler, 0.5 / max(pt.blocks, 1))))
+                    esn0 += 0.1
+                es = np.array([p[0] for p in pts])
+                bl = np.log10([p[1] for p in pts])
+                for t in targets:
+                    # first crossing below the target, log-interp like
+                    # plot_SNR_vs_A.m:175
+                    i = int(np.argmax(bl <= np.log10(t)))
+                    if i == 0:
+                        req = float(es[0])
+                    else:
+                        req = float(np.interp(np.log10(t),
+                                              [bl[i], bl[i - 1]],
+                                              [es[i], es[i - 1]]))
+                    curve[f"required_esn0_db_at_{t:g}"].append(round(req, 4))
+                print(f"{ckey} A={A}: "
+                      + ", ".join(f"{t:g}->{curve[f'required_esn0_db_at_{t:g}'][-1]}"
+                                  for t in targets), flush=True)
+            out["curves"][ckey] = curve
+            _dump("SNR_vs_A_surface.json", out)  # checkpoint per (algo, rate)
+    # per-point min-sum penalty at 1e-2
+    delta = {}
+    for r_key in starts:
+        sp = out["curves"].get(f"sum-product/{r_key}")
+        ms = out["curves"].get(f"min-sum/{r_key}")
+        if sp and ms:
+            delta[r_key] = [
+                None if (a is None or b is None) else round(b - a, 4)
+                for a, b in zip(sp["required_esn0_db_at_0.01"],
+                                ms["required_esn0_db_at_0.01"])
+            ]
+    out["delta_ms_minus_sp_db"] = delta
+    _dump("SNR_vs_A_surface.json", out)
+
+
 def snrvsa():
     from ldpc_3gpp_tpu.parallel.sweep import snr_vs_a
 
@@ -245,6 +352,7 @@ STAGES = {
     "config1": config1,
     "config2": config2,
     "benchcfg": benchcfg,
+    "surface": surface,
     "snrvsa": snrvsa,
 }
 
