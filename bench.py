@@ -50,12 +50,14 @@ def main():
         schedule="layered",  # BASELINE config #2: layered normalized min-sum
     )
 
-    batch = 512
+    batch = 128
     # sim steps per dispatch: amortises host->device launch latency.  The
-    # (batch, steps) surface was re-scanned after the delta-rotation kernel
-    # (2026-08-17): 512x8 155k, 512x16 165-170k, 512x32 175k, 512x64 180k
-    # TB/s — deeper dispatch keeps winning slightly; 64 is the knee.
-    steps = 64
+    # (batch, steps) surface was re-scanned after the reversed-layer-order
+    # kernel (2026-08-19): 512x64 268k, 256x128 279k, 128x512 292k,
+    # 128x1024 295k TB/s — small power-of-two batches with deep dispatch
+    # win; non-power-of-two batches (96/160/192) collapse to ~150k, and
+    # batch >= 1024 loses ~20%.
+    steps = 1024
     esn0 = 1.0  # near the BG1 R=1/3 waterfall: realistic iteration mix
 
     def sim_many(key, esn0_db):
