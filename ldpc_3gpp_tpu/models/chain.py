@@ -59,6 +59,9 @@ class BatchResult(NamedTuple):
     # (matches the reference, whose failed decodes return [] — no bits at all)
     bit_errors: jax.Array  # ()
     iterations: jax.Array  # () total BP iterations spent (all CBs, all rvs)
+    # (iterations+1,) histogram of per-code-block BP iteration counts over
+    # every (block, CB, rv stage) decode — the early-termination mix
+    iteration_hist: jax.Array
     tb_ok: jax.Array  # (batch,) per-block success (for found-start logic)
 
 
@@ -81,6 +84,7 @@ def simulate_batch(
     success = jnp.zeros((batch,), bool)
     a_hat = jnp.zeros_like(a)
     total_iters = jnp.zeros((), jnp.int32)
+    iter_hist = jnp.zeros((cfg.iterations + 1,), jnp.int32)
 
     for stage, rv in enumerate(cfg.rv_sequence):
         p = p0.with_rv(rv)
@@ -106,6 +110,10 @@ def simulate_batch(
         a_hat = jnp.where(newly[:, None], res.a_hat, a_hat)
         success = success | res.tb_ok
         total_iters = total_iters + jnp.sum(res.iterations).astype(jnp.int32)
+        iter_hist = iter_hist + jnp.sum(
+            jax.nn.one_hot(res.iterations, cfg.iterations + 1, dtype=jnp.int32),
+            axis=tuple(range(res.iterations.ndim)),
+        )
 
     bits_equal = jnp.all(a_hat == a, axis=-1)
     tb_ok = success & bits_equal  # undetected CRC errors still count as errors
@@ -118,5 +126,6 @@ def simulate_batch(
         block_errors=jnp.sum(~tb_ok).astype(jnp.int32),
         bit_errors=bit_errs.astype(jnp.int32),
         iterations=total_iters,
+        iteration_hist=iter_hist,
         tb_ok=tb_ok,
     )

@@ -67,12 +67,16 @@ class MonteCarlo:
                     acc[1] + r.block_errors,
                     acc[2] + r.bit_errors,
                     acc[3] + r.iterations,
+                    acc[4] + r.iteration_hist,
                 )
 
             # varying zero (derived from the folded key) so the fori_loop
             # carry has consistent mesh-varying axes under shard_map
             zero = (jax.random.key_data(key).ravel()[0] * 0).astype(jnp.int32)
-            totals = jax.lax.fori_loop(0, steps, body, (zero, zero, zero, zero))
+            hist0 = jnp.zeros((cfg.iterations + 1,), jnp.int32) + zero
+            totals = jax.lax.fori_loop(
+                0, steps, body, (zero, zero, zero, zero, hist0)
+            )
             return tuple(jax.lax.psum(t, "dp") for t in totals)
 
         self._step = jax.jit(
@@ -80,7 +84,7 @@ class MonteCarlo:
                 device_step,
                 mesh=mesh,
                 in_specs=(P(), P()),
-                out_specs=(P(), P(), P(), P()),
+                out_specs=(P(), P(), P(), P(), P()),
                 # pallas_call outputs carry no varying-mesh-axes metadata;
                 # disable the vma check so the kernel backend works under
                 # shard_map (correctness is covered by the psum tests)
@@ -93,7 +97,7 @@ class MonteCarlo:
         return self.batch_per_device * self.mesh.size * self.steps_per_call
 
     def run(self, key: jax.Array, esn0_db: float) -> Dict[str, int]:
-        blocks, errs, bit_errs, iters = self._step(
+        blocks, errs, bit_errs, iters, hist = self._step(
             key, jnp.asarray(esn0_db, jnp.float32)
         )
         return {
@@ -101,6 +105,7 @@ class MonteCarlo:
             "block_errors": int(errs),
             "bit_errors": int(bit_errs),
             "iterations": int(iters),
+            "iteration_hist": np.asarray(hist, dtype=np.int64),
         }
 
     def run_pipelined(
@@ -120,10 +125,12 @@ class MonteCarlo:
         outs = [
             self._step(jax.random.fold_in(key, i), e) for i in range(calls)
         ]
-        # One host fetch of the (calls, 4) counter matrix; sum in int64 on
-        # the host — an on-device int32 window sum can overflow bit_errors
-        # at BLER ~ 1 (large-A dispatches carry ~1e8 bit errors each).
-        mat = np.asarray(jnp.stack([jnp.stack(o) for o in outs]))
+        # One host fetch of the (calls, 4) counter matrix (+ histograms);
+        # sum in int64 on the host — an on-device int32 window sum can
+        # overflow bit_errors at BLER ~ 1 (large-A dispatches carry ~1e8
+        # bit errors each).
+        mat = np.asarray(jnp.stack([jnp.stack(o[:4]) for o in outs]))
+        hist = np.asarray(jnp.stack([o[4] for o in outs]))
         blocks, errs, bit_errs, iters = (
             int(v) for v in mat.astype(np.int64).sum(axis=0)
         )
@@ -132,4 +139,5 @@ class MonteCarlo:
             "block_errors": errs,
             "bit_errors": bit_errs,
             "iterations": iters,
+            "iteration_hist": hist.astype(np.int64).sum(axis=0),
         }

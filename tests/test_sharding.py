@@ -42,7 +42,24 @@ def test_counters_deterministic():
     mc = MonteCarlo(_cfg(), batch_per_device=8)
     a = mc.run(jax.random.PRNGKey(3), 0.5)
     b = mc.run(jax.random.PRNGKey(3), 0.5)
-    assert a == b
+    assert set(a) == set(b)
+    for k in a:
+        assert np.array_equal(a[k], b[k]), k
+
+
+def test_iteration_histogram_invariants():
+    """psum'd per-CB iteration histogram: one entry per (block, CB, rv),
+    weighted sum equals the scalar iterations counter."""
+    cfg = _cfg()
+    mc = MonteCarlo(cfg, batch_per_device=8)
+    c = mc.run(jax.random.PRNGKey(5), 2.0)
+    hist = c["iteration_hist"]
+    assert hist.shape == (cfg.iterations + 1,)
+    decodes = c["blocks"] * cfg.params.C * len(cfg.rv_sequence)
+    assert hist.sum() == decodes
+    assert (hist * np.arange(len(hist))).sum() == c["iterations"]
+    # at 2 dB the early-termination mix is nontrivial
+    assert (hist > 0).sum() > 1
 
 
 @pytest.mark.slow
@@ -63,6 +80,7 @@ def test_psum_matches_manual_aggregation():
 
     sim = jax.jit(partial(simulate_batch, cfg, batch=16))
     manual = {"blocks": 0, "block_errors": 0, "bit_errors": 0, "iterations": 0}
+    manual_hist = np.zeros(cfg.iterations + 1, np.int64)
     for i in range(2):
         # device_step folds (device index, then step index 0)
         k = jax.random.fold_in(jax.random.fold_in(key, i), 0)
@@ -71,8 +89,11 @@ def test_psum_matches_manual_aggregation():
         manual["block_errors"] += int(r.block_errors)
         manual["bit_errors"] += int(r.bit_errors)
         manual["iterations"] += int(r.iterations)
+        manual_hist += np.asarray(r.iteration_hist, np.int64)
 
+    total_hist = total.pop("iteration_hist")
     assert manual == total
+    np.testing.assert_array_equal(manual_hist, total_hist)
 
 
 @pytest.mark.slow

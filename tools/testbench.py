@@ -58,6 +58,12 @@ def main():
     tested = 0
     while args.trials == 0 or trial < args.trials:
         trial += 1
+        if trial % 5 == 0:
+            # every random config is a fresh (large) XLA CPU compile; the
+            # JIT's code-section arena is finite and overflows after a few
+            # dozen ("LLVM ERROR: Unable to allocate section memory!") —
+            # dropping executable references lets it recycle sections
+            jax.clear_caches()
         # random draw mirroring testbench.m:21-36
         R = rng.uniform(0.15, 0.95)
         A = int(rng.integers(1, args.max_a + 1))
