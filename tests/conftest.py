@@ -25,3 +25,23 @@ if not os.environ.get("LDPC_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound the XLA CPU JIT code arena per worker.
+
+    Every jitted config is a large fresh compile; a long-lived xdist worker
+    accumulates executables until LLVM's contiguous code-section arena
+    overflows ("Unable to allocate section memory!" — observed as a
+    'node down' worker death).  Dropping executable references at module
+    boundaries lets the arena recycle; cross-module cache reuse is ~nil
+    anyway (each module compiles its own configs).
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
