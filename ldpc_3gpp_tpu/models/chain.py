@@ -58,9 +58,13 @@ class BatchResult(NamedTuple):
     # info bit errors; a block that never decoded counts all A bits as wrong
     # (matches the reference, whose failed decodes return [] — no bits at all)
     bit_errors: jax.Array  # ()
-    iterations: jax.Array  # () total BP iterations spent (all CBs, all rvs)
+    # total BP iterations spent, reference protocol: a block that decoded at
+    # an earlier rv stage stops retransmitting (plot_BLER_vs_SNR.m:124-137),
+    # so its SIMD re-decodes at later stages are excluded
+    iterations: jax.Array  # ()
     # (iterations+1,) histogram of per-code-block BP iteration counts over
-    # every (block, CB, rv stage) decode — the early-termination mix
+    # every (block, CB, rv stage) decode of a not-yet-decoded block — the
+    # early-termination mix, same stop-on-success protocol as `iterations`
     iteration_hist: jax.Array
     tb_ok: jax.Array  # (batch,) per-block success (for found-start logic)
 
@@ -108,10 +112,18 @@ def simulate_batch(
         state = res.state
         newly = res.tb_ok & ~success
         a_hat = jnp.where(newly[:, None], res.a_hat, a_hat)
+        # Iteration accounting follows the reference's stop-on-success HARQ
+        # protocol (plot_BLER_vs_SNR.m:124-137: `while isempty(a_hat)`): the
+        # SIMD batch necessarily re-decodes already-successful blocks at
+        # later rv stages, but those decodes would never happen in the
+        # reference, so they are excluded from both observables.
+        active = ~success  # (batch,) blocks still undecoded BEFORE this stage
+        stage_iters = res.iterations * active[:, None].astype(res.iterations.dtype)
         success = success | res.tb_ok
-        total_iters = total_iters + jnp.sum(res.iterations).astype(jnp.int32)
+        total_iters = total_iters + jnp.sum(stage_iters).astype(jnp.int32)
         iter_hist = iter_hist + jnp.sum(
-            jax.nn.one_hot(res.iterations, cfg.iterations + 1, dtype=jnp.int32),
+            jax.nn.one_hot(res.iterations, cfg.iterations + 1, dtype=jnp.int32)
+            * active[:, None, None],
             axis=tuple(range(res.iterations.ndim)),
         )
 

@@ -14,7 +14,7 @@ spans all processes and psum rides ICI/DCN.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -96,7 +96,9 @@ class MonteCarlo:
     def blocks_per_run(self) -> int:
         return self.batch_per_device * self.mesh.size * self.steps_per_call
 
-    def run(self, key: jax.Array, esn0_db: float) -> Dict[str, int]:
+    def run(self, key: jax.Array, esn0_db: float) -> Dict[str, Union[int, np.ndarray]]:
+        """Mesh-aggregated counters; all values are Python ints except
+        'iteration_hist', which is an (iterations+1,) int64 ndarray."""
         blocks, errs, bit_errs, iters, hist = self._step(
             key, jnp.asarray(esn0_db, jnp.float32)
         )
@@ -110,8 +112,10 @@ class MonteCarlo:
 
     def run_pipelined(
         self, key: jax.Array, esn0_db: float, calls: int
-    ) -> Dict[str, int]:
+    ) -> Dict[str, Union[int, np.ndarray]]:
         """``calls`` dispatches summed into ONE host fetch.
+
+        Same value types as ``run``: ints plus the 'iteration_hist' ndarray.
 
         Over a remote-TPU tunnel every host fetch costs a fixed round trip
         (~30 ms) and ``block_until_ready`` is not a reliable sync point, so

@@ -31,6 +31,27 @@ from ..utils.rng import fast_key
 from .montecarlo import MonteCarlo
 
 
+def _scan_resume_file(fname, parse) -> Dict:
+    """Parse a results file for resume, tolerating a torn final line.
+
+    The file is append+flush-per-point, so the very crash resume recovers
+    from can leave a partial or blank last line; skip anything that does
+    not parse as exactly two well-formed fields instead of failing resume.
+    """
+    done = {}
+    with open(fname) as fid:
+        for line in fid:
+            parts = line.split()
+            if len(parts) != 2:
+                continue
+            try:
+                k, v = parse(parts)
+            except ValueError:
+                continue
+            done[k] = v
+    return done
+
+
 @dataclasses.dataclass
 class SweepPoint:
     esn0_db: float
@@ -175,10 +196,9 @@ def bler_vs_snr(
                 )
                 done_points = {}
                 if resume and os.path.exists(fname):
-                    with open(fname) as fid:
-                        for line in fid:
-                            e_s, b_s = line.split()
-                            done_points[round(float(e_s), 6)] = float(b_s)
+                    done_points = _scan_resume_file(
+                        fname, lambda p: (round(float(p[0]), 6), float(p[1]))
+                    )
                 key = fast_key(seed)
                 points: List[SweepPoint] = []
                 esn0, bler, found_start = esn0_start, 1.0, False
@@ -251,10 +271,9 @@ def snr_vs_a(
         )
         done_as: Dict[int, float] = {}
         if resume and os.path.exists(fname):
-            with open(fname) as fid:
-                for line in fid:
-                    a_s, e_s = line.split()
-                    done_as[int(a_s)] = float(e_s)
+            done_as = _scan_resume_file(
+                fname, lambda p: (int(p[0]), float(p[1]))
+            )
         curve: List[Tuple[int, float]] = []
         with open(fname, "a" if resume else "w") as fid:
             for a_i in A:

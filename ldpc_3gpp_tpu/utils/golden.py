@@ -26,7 +26,20 @@ _ALGO = {"min-sum": 0, "offset-min-sum": 1, "sum-product": 2}
 
 
 def _build() -> None:
-    subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+    # Serialize across processes: under pytest-xdist several workers hit
+    # load() concurrently; without a lock they race the .so write and can
+    # dlopen a partially written library.
+    import fcntl
+
+    lock_path = os.path.join(_NATIVE_DIR, ".build.lock")
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], check=True, capture_output=True
+            )
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
 
 
 def load() -> ctypes.CDLL:

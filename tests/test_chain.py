@@ -169,6 +169,34 @@ def test_simulate_batch_counters():
     assert lo.bit_errors > 0
 
 
+def test_harq_iteration_accounting_stops_on_success():
+    """Iteration observables follow the reference's stop-on-success protocol.
+
+    The reference stops retransmitting a block the moment it decodes
+    (plot_BLER_vs_SNR.m:124-137), so at an SNR where every block decodes at
+    rv stage 0, rv_sequence=(0,1,2,3) must produce the SAME total iterations
+    and iteration histogram as rv_sequence=(0,) — the later stages' SIMD
+    re-decodes must not be counted.
+    """
+    p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
+    base = dict(params=p, modulation="QPSK", iterations=15)
+    sim1 = jax.jit(
+        partial(simulate_batch, ChainConfig(rv_sequence=(0,), **base), batch=32)
+    )
+    sim4 = jax.jit(
+        partial(
+            simulate_batch, ChainConfig(rv_sequence=(0, 1, 2, 3), **base), batch=32
+        )
+    )
+    r1 = jax.tree.map(np.asarray, sim1(jax.random.PRNGKey(3), 12.0))
+    r4 = jax.tree.map(np.asarray, sim4(jax.random.PRNGKey(3), 12.0))
+    assert r1.block_errors == 0  # precondition: everything decodes at rv 0
+    assert r4.iterations == r1.iterations
+    np.testing.assert_array_equal(r4.iteration_hist, r1.iteration_hist)
+    # and the histogram's mass equals the number of (block, CB) decodes
+    assert r1.iteration_hist.sum() == 32 * p.C
+
+
 def test_simulate_batch_reproducible():
     p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
     cfg = ChainConfig(params=p, modulation="QPSK", iterations=15)

@@ -29,6 +29,31 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "..", "golden")
 
+_FORCE_RESUME = False
+
+
+def semantics_fingerprint() -> str:
+    """SHA-256 over the decoder-semantics-relevant sources.
+
+    Stamped into resumable artifacts so a partial regen after a semantics
+    change cannot silently mix stale and fresh measurements: resume only
+    reuses entries whose stamp matches the current sources.
+    """
+    import glob
+    import hashlib
+
+    root = os.path.join(os.path.dirname(__file__), "..", "ldpc_3gpp_tpu")
+    files = sorted(
+        glob.glob(os.path.join(root, "ops", "*.py"))
+        + glob.glob(os.path.join(root, "models", "*.py"))
+        + glob.glob(os.path.join(root, "spec", "*.py"))
+    )
+    h = hashlib.sha256()
+    for f in files:
+        with open(f, "rb") as fid:
+            h.update(fid.read())
+    return h.hexdigest()[:16]
+
 
 def _dump(name, obj):
     path = os.path.join(GOLDEN, name)
@@ -256,12 +281,20 @@ def surface():
             "min-sum penalty at BLER 1e-2 per point."
         ),
         "A": list(range(1000, 8001, 1000)),
+        "semantics": semantics_fingerprint(),
         "curves": {},
     }
     if os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
-        out["curves"] = prev.get("curves", {})
+        if prev.get("semantics") == out["semantics"] or _FORCE_RESUME:
+            out["curves"] = prev.get("curves", {})
+        elif prev.get("curves"):
+            print(
+                "surface: decoder-semantics fingerprint changed "
+                f"({prev.get('semantics')} -> {out['semantics']}); "
+                "discarding previous curves (pass --force-resume to keep)"
+            )
     starts = {"0.2": -6.0, "0.333333": -3.5, "0.5": -1.5, "0.666667": 0.5}
     targets = (1e-1, 1e-2)
     for algorithm in ("sum-product", "min-sum"):
@@ -361,8 +394,13 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("stages", nargs="*", default=list(STAGES),
                     choices=list(STAGES) + [[]])
+    ap.add_argument("--force-resume", action="store_true",
+                    help="reuse checkpointed surface curves even if the "
+                         "decoder-semantics fingerprint changed")
     args = ap.parse_args()
     stages = args.stages or list(STAGES)
+    global _FORCE_RESUME
+    _FORCE_RESUME = args.force_resume
 
     from ldpc_3gpp_tpu.utils.cache import enable_compilation_cache
 
