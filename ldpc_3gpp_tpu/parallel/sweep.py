@@ -162,6 +162,7 @@ def bler_vs_snr(
     results_dir: str = "results",
     resume: bool = False,
     verbose: bool = True,
+    live_plot: bool = False,
     **chain_kw,
 ) -> Dict[tuple, List[SweepPoint]]:
     """BLER-vs-Es/N0 waterfalls; defaults match plot_BLER_vs_SNR.m:30-42.
@@ -169,6 +170,11 @@ def bler_vs_snr(
     ``resume=True`` skips Es/N0 points already present in the results file
     (the reference's append-per-point crash recovery, plot_BLER_vs_SNR.m:165,
     made explicit).
+
+    ``live_plot=True`` re-renders ``results_dir/BLER_vs_SNR_live.png`` after
+    every completed point — the headless equivalent of the reference's
+    per-block figure updates (plot_BLER_vs_SNR.m:157-160); watch the file
+    to monitor a long sweep.
     """
     os.makedirs(results_dir, exist_ok=True)
     out: Dict[tuple, List[SweepPoint]] = {}
@@ -222,6 +228,16 @@ def bler_vs_snr(
                         if bler < 1:
                             fid.write(f"{esn0:f}\t{bler:e}\n")
                             fid.flush()
+                        if live_plot:
+                            from ..utils.plotting import plot_bler_curves
+
+                            live = dict(out)
+                            live[(bg_i, r_i, a_i)] = points
+                            plot_bler_curves(
+                                live,
+                                os.path.join(results_dir,
+                                             "BLER_vs_SNR_live.png"),
+                            )
                         if verbose:
                             mean_it = pt.iterations / max(pt.blocks * cfg.params.C, 1)
                             print(
@@ -254,12 +270,16 @@ def snr_vs_a(
     results_dir: str = "results",
     resume: bool = False,
     verbose: bool = True,
+    live_plot: bool = False,
     **chain_kw,
 ) -> Dict[float, List[Tuple[int, float]]]:
     """Required Es/N0 at target BLER vs A; defaults match plot_SNR_vs_A.m:37-49.
 
     ``resume=True`` skips A values already present in the results file
     (append-per-point crash recovery, same contract as ``bler_vs_snr``).
+
+    ``live_plot=True`` re-renders ``results_dir/SNR_vs_A_live.png`` after
+    every completed A (headless equivalent of plot_SNR_vs_A.m:177-183).
     """
     os.makedirs(results_dir, exist_ok=True)
     out: Dict[float, List[Tuple[int, float]]] = {}
@@ -325,6 +345,12 @@ def snr_vs_a(
                 curve.append((a_i, required))
                 fid.write(f"{a_i}\t{required:f}\n")
                 fid.flush()
+                if live_plot:
+                    from ..utils.plotting import plot_snr_vs_a as _plot
+
+                    live = dict(out)
+                    live[r_i] = curve
+                    _plot(live, os.path.join(results_dir, "SNR_vs_A_live.png"))
                 if verbose:
                     print(f"A={a_i}: required Es/N0 = {required:.3f} dB")
         out[r_i] = curve

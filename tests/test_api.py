@@ -84,6 +84,33 @@ def test_harq_accumulation_via_api():
     assert got is not None and np.array_equal(got, a)
 
 
+def test_varying_g_between_harq_steps():
+    """G (and rv_id) mutate between retransmissions of one transport block
+    — the reason the reference makes them tunable (NRLDPC.m:51-85).  The
+    HARQ soft buffer is G-independent, so a short first transmission plus a
+    longer, differently-punctured retransmission must combine and decode."""
+    A = 1000
+    stages = [(0, 1600), (2, 2400)]  # (rv_id, G): rv0 alone fails at 2 dB
+    mod = NRModulator("QPSK")
+    enc = NRLDPCEncoder(A=A, BG=1, G=stages[0][1], Q_m=mod.Q_m)
+    dec = NRLDPCDecoder(A=A, BG=1, G=stages[0][1], Q_m=mod.Q_m, I_HARQ=1,
+                        iterations=25)
+    chan = AWGNChannel(snr_db=2.0, seed=11)
+    a = RNG.integers(0, 2, A).astype(np.int8)
+    dec.reset()
+    got = []
+    for rv, G in stages:
+        enc.rv_id, enc.G = rv, G
+        dec.rv_id, dec.G = rv, G
+        g = enc.step(a)
+        assert g.shape == (G,)
+        rx = chan.step(mod.step(g))
+        dem = NRDemodulator("QPSK", variance=10 ** (-2.0 / 10))
+        got.append(dec.step(dem.step(rx)))
+    assert got[0] is None  # high-rate first shot fails...
+    assert got[1] is not None and np.array_equal(got[1], a)  # ...IR decodes
+
+
 def test_batched_step():
     A, G = 100, 300
     enc = NRLDPCEncoder(A=A, BG=2, G=G, Q_m=2)

@@ -39,6 +39,18 @@ def test_bler_vs_snr_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_bler_vs_snr_live_plot(tmp_path):
+    """live_plot=True renders a PNG after every point (the headless
+    equivalent of the reference's per-block figure, plot_BLER_vs_SNR.m:157)."""
+    bler_vs_snr(A=[100], rate=[1 / 2], bg=[2], modulation="QPSK",
+                iterations=4, algorithm="min-sum", batch_per_device=16,
+                seed=1, verbose=False, target_block_errors=2,
+                target_bler=0.5, esn0_start=4.0, esn0_delta=1.0,
+                results_dir=str(tmp_path), live_plot=True)
+    png = os.path.join(str(tmp_path), "BLER_vs_SNR_live.png")
+    assert os.path.exists(png) and os.path.getsize(png) > 1000
+
+
 def test_bler_vs_snr_waterfall_and_resume(tmp_path):
     d = str(tmp_path)
     out = bler_vs_snr(target_block_errors=8, target_bler=2e-1,

@@ -115,6 +115,56 @@ def test_compiled_early_termination_flag(early_termination):
         _assert_equal(rk, rx)
 
 
+def test_kernel_under_shard_map_matches_unsharded():
+    """MonteCarlo (shard_map + psum) with the Pallas kernel ENGAGED.
+
+    parallel/montecarlo.py disables the shard_map vma check so pallas_call
+    works under it; the CPU-mesh sharding tests silently fall back to the
+    XLA backend (backend='auto' on CPU), so until this test nothing ran the
+    kernel itself under shard_map.  On the 1-device TPU mesh the sharded
+    counters must equal a direct unsharded simulate_batch sum over the same
+    folded keys — same decoder trajectory, same psum inputs.
+    """
+    from jax.sharding import Mesh
+
+    from ldpc_3gpp_tpu.models.chain import ChainConfig, simulate_batch
+    from ldpc_3gpp_tpu.parallel.montecarlo import MonteCarlo
+
+    cfg = ChainConfig(
+        params=P_PACKED, modulation="QPSK", iterations=12,
+        algorithm="min-sum", backend="auto", schedule="layered",
+    )
+    mesh = Mesh(np.array(jax.devices()[:1]), ("dp",))
+    mc = MonteCarlo(cfg, batch_per_device=32, mesh=mesh, steps_per_call=2)
+    key = jax.random.PRNGKey(123)
+    got = mc.run(key, 1.0)
+
+    # replicate the device_step computation without shard_map: device 0's
+    # key is fold_in(key, axis_index=0), then fold_in(step i)
+    @jax.jit
+    def direct(key, esn0):
+        key = jax.random.fold_in(key, 0)
+        totals = None
+        for i in range(2):
+            r = simulate_batch(cfg, jax.random.fold_in(key, i), esn0, 32)
+            cur = (r.blocks, r.block_errors, r.bit_errors, r.iterations,
+                   r.iteration_hist)
+            totals = cur if totals is None else tuple(
+                a + b for a, b in zip(totals, cur)
+            )
+        return totals
+
+    blocks, errs, bit_errs, iters, hist = direct(key, jnp.float32(1.0))
+    assert got["blocks"] == int(blocks)
+    assert got["block_errors"] == int(errs)
+    assert got["bit_errors"] == int(bit_errs)
+    assert got["iterations"] == int(iters)
+    np.testing.assert_array_equal(got["iteration_hist"], np.asarray(hist))
+    # the operating point must exercise the kernel's early-termination mix
+    hist_np = np.asarray(hist)
+    assert (hist_np > 0).sum() > 1
+
+
 def test_compiled_lane_packing_and_bf16():
     """Packed lanes and bf16 messages decode correctly when compiled."""
     cw, llr = _noisy_llrs(P_PACKED, 13, 2.5, key=21)
