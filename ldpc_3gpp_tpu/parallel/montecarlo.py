@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..models.chain import ChainConfig, simulate_batch
+from ..models.chain import ChainConfig, _efficient_batch, simulate_batch
 
 
 def default_mesh() -> Mesh:
@@ -49,6 +49,17 @@ class MonteCarlo:
     def __post_init__(self):
         if self.mesh is None:
             self.mesh = default_mesh()
+        # XLA-efficient batch (DESIGN.md section 8b): a batch > 64 that is
+        # not a multiple of 128 costs the SAME wall time as the next
+        # multiple of 128, so round UP — the extra rows are free real
+        # Monte-Carlo samples (counters report the actual blocks simulated).
+        eff = _efficient_batch(self.batch_per_device)
+        if eff != self.batch_per_device:
+            print(
+                f"MonteCarlo: batch_per_device {self.batch_per_device} -> "
+                f"{eff} (same wall time per dispatch; see DESIGN.md 8b)"
+            )
+            self.batch_per_device = eff
         mesh, cfg, bpd = self.mesh, self.cfg, self.batch_per_device
         steps = self.steps_per_call
 

@@ -197,6 +197,28 @@ def test_harq_iteration_accounting_stops_on_success():
     assert r1.iteration_hist.sum() == 32 * p.C
 
 
+def test_simulate_batch_pads_inefficient_batches():
+    """batch > 64 simulates a multiple-of-128 batch internally (the measured
+    XLA dispatch cliff, DESIGN.md section 8b) but counts EXACTLY the
+    requested blocks."""
+    from ldpc_3gpp_tpu.models.chain import _efficient_batch
+
+    assert [_efficient_batch(b) for b in (4, 64, 65, 96, 100, 128, 160, 256)] \
+        == [4, 64, 128, 128, 128, 128, 256, 256]
+    p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
+    cfg = ChainConfig(params=p, modulation="QPSK", iterations=15)
+    r = jax.tree.map(
+        np.asarray, jax.jit(partial(simulate_batch, cfg, batch=100))(
+            jax.random.PRNGKey(2), 12.0
+        )
+    )
+    assert r.blocks == 100 and r.tb_ok.shape == (100,)
+    assert r.block_errors == 0 and r.bit_errors == 0
+    # iteration histogram mass counts only the requested blocks' decodes
+    assert r.iteration_hist.sum() == 100 * p.C
+    assert r.iterations == (r.iteration_hist * np.arange(16)).sum()
+
+
 def test_simulate_batch_reproducible():
     p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
     cfg = ChainConfig(params=p, modulation="QPSK", iterations=15)

@@ -96,12 +96,26 @@ def test_psum_matches_manual_aggregation():
     np.testing.assert_array_equal(manual_hist, total_hist)
 
 
+def test_montecarlo_rounds_batch_up_to_efficient_size():
+    """batch_per_device > 64 rounds UP to a multiple of 128 (DESIGN.md 8b):
+    the padded rows cost no extra wall time, so they become real samples
+    and the counters report the actual simulated blocks."""
+    p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
+    cfg = ChainConfig(params=p, modulation="QPSK", iterations=4)
+    mc = MonteCarlo(cfg, batch_per_device=100)
+    assert mc.batch_per_device == 128
+    c = mc.run(jax.random.PRNGKey(0), 8.0)
+    assert c["blocks"] == 128 * mc.mesh.size
+    # small batches (tests, dryruns) are untouched
+    assert MonteCarlo(cfg, batch_per_device=16).batch_per_device == 16
+
+
 @pytest.mark.slow
 def test_per_device_rng_differs():
     """Devices must not simulate identical noise (fold_in by axis_index)."""
     p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
     cfg = ChainConfig(params=p, modulation="QPSK", iterations=4)
-    mc = MonteCarlo(cfg, batch_per_device=64)
+    mc = MonteCarlo(cfg, batch_per_device=64)  # <= 64: no efficiency rounding
     # near the waterfall the error count would be a multiple of 8 if all
     # devices were identical; check across several keys
     multiples = 0
