@@ -19,10 +19,14 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.channel import awgn, esn0_to_variance
-from ..ops.modulation import Q_M, demodulate, modulate
+from ..ops.modulation import Q_M
 from ..spec.params import LDPCParams
-from .decoder import decode_transport_block, init_harq_state
-from .encoder import encode_transport_block
+from .decoder import (
+    decode_transport_block_d,
+    init_harq_state,
+    split_rate_matched_symbols,
+)
+from .encoder import encode_to_symbols
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,13 +118,20 @@ def simulate_batch(
 
     for stage, rv in enumerate(cfg.rv_sequence):
         p = p0.with_rv(rv)
-        g = encode_transport_block(p, a)
-        tx = modulate(g, cfg.modulation)
+        # Fused symbol path: the Section 5.4.2.2 (de)interleaver shuffles
+        # compose away against the modulator's bit-plane structure, so the
+        # interleaved bit/LLR streams g and g~ never materialize.  Values
+        # (symbols, LLRs, counters) are bit-exact vs the composition
+        # modulate(encode(...)) / split(demod(...)) — pinned by
+        # tests/test_chain.py::test_fused_symbol_path_matches_composition.
+        tx = encode_to_symbols(p, a, cfg.modulation)
         rx = awgn(jax.random.fold_in(key_ch, stage), tx, noise_var)
-        llr = demodulate(rx, cfg.modulation, noise_var, cfg.demod_method)
-        res = decode_transport_block(
+        d_tilde = split_rate_matched_symbols(
+            p, rx, cfg.modulation, noise_var, cfg.demod_method
+        )
+        res = decode_transport_block_d(
             p,
-            llr,
+            d_tilde,
             state,
             iterations=cfg.iterations,
             algorithm=cfg.algorithm,

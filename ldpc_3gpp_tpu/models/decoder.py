@@ -42,16 +42,31 @@ def _drop_schedule(fn, layered_fn=None):
     return wrapped
 
 
+def _kernel_engaged(backend: str, algorithm: str, params: LDPCParams) -> bool:
+    """Will this (backend, algorithm, params) run the Pallas kernel?
+
+    Mirrors ``_bp_decode_auto``'s dispatch so the chain can pick the
+    kernel's fused ``channel_format='d'`` input path exactly when the
+    kernel will consume it.
+    """
+    if backend == "pallas":
+        return True
+    return (
+        backend == "auto"
+        and jax.default_backend() == "tpu"
+        and algorithm in decoder_pallas.ALGORITHMS
+        and decoder_pallas.supports(params)
+    )
+
+
 def _bp_decode_auto(params, llr, *, algorithm, schedule="layered", **kw):
     """Pallas kernel when it applies, flooding XLA path otherwise."""
-    import jax
-
-    on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and algorithm in decoder_pallas.ALGORITHMS and decoder_pallas.supports(params):
+    if _kernel_engaged("auto", algorithm, params):
         return decoder_pallas.decode(
             params, llr, algorithm=algorithm, schedule=schedule, **kw
         )
     kw.pop("message_dtype", None)  # perf knob of the kernel, not semantics
+    assert kw.pop("channel_format", "cw") == "cw"  # kernel-only input format
     if schedule == "layered":
         return bp_decode_layered(params, llr, algorithm=algorithm, **kw)
     return bp_decode_fast(params, llr, algorithm=algorithm, **kw)
@@ -72,8 +87,10 @@ DECODE_BACKENDS = {
 
 # Large finite stand-in for the reference's +inf filler LLRs
 # (NRLDPCDecoder.m:264).  Finite so that inf - inf NaNs can never appear in
-# message passing; far above any channel LLR magnitude.
-FILLER_LLR = 1e20
+# message passing; far above any channel LLR magnitude.  Aliases the
+# kernel's constant: the kernel pins fillers itself in its fused
+# channel_format='d' input path, and both paths must agree bit-for-bit.
+FILLER_LLR = decoder_pallas.FILLER_LLR
 
 
 class HARQState(NamedTuple):
@@ -127,6 +144,45 @@ def split_rate_matched(params: LDPCParams, g_tilde: jax.Array) -> jax.Array:
     return jnp.stack(rows, axis=-2)
 
 
+def split_rate_matched_symbols(
+    params: LDPCParams,
+    y: jax.Array,
+    modulation: str,
+    noise_var,
+    method: str = "exact",
+) -> jax.Array:
+    """``split_rate_matched(demodulate(y))`` with the Section 5.4.2.2
+    deinterleaver's element-shuffle fused away: (..., G/Q_m) received
+    symbols -> (..., C, N) circular-buffer LLRs.
+
+    ops/modulation.demodulate_planes emits each code block's LLRs directly
+    as deinterleaved planes (plane i = stream i), so the per-element
+    (S, Q_m) transpose of the full stream never materializes.  Bit-exact
+    vs the composition (pinned by tests/test_chain.py).
+    """
+    from ..ops.modulation import Q_M, demodulate_planes
+
+    qm = Q_M[modulation]
+    assert y.shape[-1] * qm == params.G, (
+        f"expected {params.G // qm} symbols, got {y.shape[-1]}"
+    )
+    rows = []
+    soff = 0
+    for r in range(params.C):
+        E = params.E_r[r]
+        if E == 0:
+            rows.append(jnp.zeros(y.shape[:-1] + (params.N,), jnp.float32))
+            continue
+        S = E // qm
+        planes = demodulate_planes(
+            y[..., soff : soff + S], modulation, noise_var, method
+        )  # (..., qm, S)
+        soff += S
+        e = planes.reshape(planes.shape[:-2] + (E,)).astype(jnp.float32)
+        rows.append(accumulate_llrs(params, e, E))
+    return jnp.stack(rows, axis=-2)
+
+
 def decode_transport_block(
     params: LDPCParams,
     g_tilde: jax.Array,
@@ -146,25 +202,45 @@ def decode_transport_block(
     TBDecodeResult.state accumulates LLRs and latched code blocks across
     retransmissions (I_HARQ = 1, NRLDPCDecoder.m:236-239, 286-314).
     """
+    d_tilde = split_rate_matched(params, g_tilde)  # (..., C, N)
+    return decode_transport_block_d(
+        params, d_tilde, state,
+        iterations=iterations, algorithm=algorithm, alpha=alpha, beta=beta,
+        early_termination=early_termination, backend=backend,
+        schedule=schedule, message_dtype=message_dtype,
+    )
+
+
+def decode_transport_block_d(
+    params: LDPCParams,
+    d_tilde: jax.Array,
+    state: Optional[HARQState] = None,
+    iterations: int = 50,
+    algorithm: str = "sum-product",
+    alpha: float = 0.8125,
+    beta: float = 0.15,
+    early_termination: bool = True,
+    backend: str = "fast",
+    schedule: str = "flooding",
+    message_dtype: str = "float32",
+) -> TBDecodeResult:
+    """``decode_transport_block`` from the (..., C, N) circular-buffer LLRs.
+
+    Entry point for callers that produced d~ without materializing the
+    rate-matched stream (the simulation chain's fused symbol path,
+    ``split_rate_matched_symbols``).  Semantics identical from d~ onward.
+    """
     C, Z, K, Kp, N_cb = params.C, params.Z_c, params.K, params.K_prime, params.N_cb
     L = params.cb_crc_len
     payload = Kp - L
-    batch_shape = g_tilde.shape[:-1]
+    batch_shape = d_tilde.shape[:-2]
     harq = state is not None
     if state is None:
         state = init_harq_state(params, batch_shape)
 
-    d_tilde = split_rate_matched(params, g_tilde)  # (..., C, N)
     if harq:
         d_tilde = d_tilde.at[..., :N_cb].add(state.d_buf)
     d_buf = d_tilde[..., :N_cb]
-
-    # Rebuild the full codeword LLRs: 2Z punctured zeros + d, fillers pinned
-    # to +FILLER_LLR (known zero bits; NRLDPCDecoder.m:262-264).
-    zeros2z = jnp.zeros(batch_shape + (C, 2 * Z), jnp.float32)
-    cw_llr = jnp.concatenate([zeros2z, d_tilde], axis=-1)
-    if Kp < K:
-        cw_llr = cw_llr.at[..., Kp:K].set(FILLER_LLR)
 
     extra = {}
     if message_dtype != "float32":
@@ -174,9 +250,27 @@ def decode_transport_block(
                 f"backend {backend!r} is f32-only"
             )
         extra["message_dtype"] = message_dtype
+
+    # Rebuild the full codeword LLRs: 2Z punctured zeros + d, fillers pinned
+    # to +FILLER_LLR (known zero bits; NRLDPCDecoder.m:262-264).  When the
+    # Pallas kernel is engaged it performs both steps itself at VMEM load
+    # time (channel_format='d'), so the chain skips one full-codeword HBM
+    # materialization; values are bit-identical (tests/test_decoder_pallas).
+    # (Kp >= 2Z guards the corner where fillers would reach into the
+    # punctured region — never seen for valid NR parameters, but the fused
+    # path synthesizes zeros there while the cw path pins FILLER.)
+    if _kernel_engaged(backend, algorithm, params) and Kp >= 2 * Z:
+        dec_llr = d_tilde
+        extra["channel_format"] = "d"
+    else:
+        zeros2z = jnp.zeros(batch_shape + (C, 2 * Z), jnp.float32)
+        dec_llr = jnp.concatenate([zeros2z, d_tilde], axis=-1)
+        if Kp < K:
+            dec_llr = dec_llr.at[..., Kp:K].set(FILLER_LLR)
+
     res = DECODE_BACKENDS[backend](
         params,
-        cw_llr,
+        dec_llr,
         iterations=iterations,
         algorithm=algorithm,
         alpha=alpha,

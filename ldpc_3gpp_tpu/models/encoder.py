@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..ops.crc import crc_attach
 from ..ops.encoder import encode as ldpc_encode_rolls
 from ..ops.encoder import encode_mxu as ldpc_encode_mxu
+from ..ops.modulation import Q_M, modulate_planes
 from ..ops.rate_match import interleave, select_bits
 from ..spec.params import LDPCParams
 
@@ -68,13 +69,34 @@ def rate_match(params: LDPCParams, d: jax.Array) -> jax.Array:
     return g
 
 
-def encode_transport_block(
-    params: LDPCParams, a: jax.Array, backend: str = "rolls"
+def rate_match_symbols(
+    params: LDPCParams, d: jax.Array, modulation: str
 ) -> jax.Array:
-    """Full encode chain: (..., A) info bits -> (..., G) rate-matched bits.
+    """``modulate(rate_match(d))`` with the Section 5.4.2.2 interleaver's
+    element-shuffle fused away: (..., C, N) -> (..., G/Q_m) symbols.
 
-    Equivalent to ``g = step(NRLDPCEncoder(...), a)`` (NRLDPCEncoder.m:60-67).
+    Per code block, the selected bits reshape CONTIGUOUSLY into Q_m
+    deinterleaved planes (plane i = e[i*S : (i+1)*S]) which
+    ops/modulation.modulate_planes maps straight to symbols — bit-exact vs
+    the composition (pinned by tests/test_chain.py) while skipping two
+    per-element transposes of the full rate-matched stream.
     """
+    qm = Q_M[modulation]
+    pieces = []
+    for r in range(params.C):
+        E = params.E_r[r]
+        if E == 0:
+            continue
+        e = select_bits(params, d[..., r, :], E)
+        planes = e.reshape(e.shape[:-1] + (qm, E // qm))
+        pieces.append(modulate_planes(planes, modulation))
+    tx = jnp.concatenate(pieces, axis=-1)
+    assert tx.shape[-1] == params.G // qm
+    return tx
+
+
+def _encode_to_d(params: LDPCParams, a: jax.Array, backend: str) -> jax.Array:
+    """Sections 5.1-5.3: info bits -> the (..., C, N) rate-matching buffer."""
     assert a.shape[-1] == params.A, (
         f"expected {params.A} info bits per block, got {a.shape[-1]}"
     )
@@ -82,5 +104,26 @@ def encode_transport_block(
     c = segment(params, b)
     cw = ENCODE_BACKENDS[backend](params, c)
     # Puncture the first 2*Z_c systematic bits (NRLDPCEncoder.m:149-156).
-    d = cw[..., 2 * params.Z_c :]
-    return rate_match(params, d)
+    return cw[..., 2 * params.Z_c :]
+
+
+def encode_transport_block(
+    params: LDPCParams, a: jax.Array, backend: str = "rolls"
+) -> jax.Array:
+    """Full encode chain: (..., A) info bits -> (..., G) rate-matched bits.
+
+    Equivalent to ``g = step(NRLDPCEncoder(...), a)`` (NRLDPCEncoder.m:60-67).
+    """
+    return rate_match(params, _encode_to_d(params, a, backend))
+
+
+def encode_to_symbols(
+    params: LDPCParams, a: jax.Array, modulation: str, backend: str = "rolls"
+) -> jax.Array:
+    """``modulate(encode_transport_block(a))`` via the fused symbol path.
+
+    The simulation chain's hot encode: (..., A) info bits -> (..., G/Q_m)
+    complex symbols, identical values to the composition but without
+    materializing the interleaved bit stream g.
+    """
+    return rate_match_symbols(params, _encode_to_d(params, a, backend), modulation)

@@ -71,6 +71,11 @@ LAYERED_BATCH_TILE_BF16 = 16
 FLOODING_BATCH_TILE_BF16 = 16
 _PAD_LLR = 1e9  # pad lanes decode to bit 0 and stay finite
 _MIN_Z = 8  # below this the XLA flooding path is at least as good
+# Large finite stand-in for the reference's +inf filler LLRs
+# (NRLDPCDecoder.m:264) — the kernel pins filler lanes to this when fed the
+# raw circular-buffer LLRs (channel_format='d').  models/decoder.FILLER_LLR
+# aliases this value so both input formats decode bit-identically.
+FILLER_LLR = 1e20
 
 ALGORITHMS = ("min-sum", "offset-min-sum", "sum-product")
 SCHEDULES = ("layered", "flooding")
@@ -259,7 +264,7 @@ def _resolve_layer_order(params: LDPCParams, layer_order):
 def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                  schedule: str, alpha: float, beta: float, Bt: int,
                  dtype=jnp.float32, P: int = 1, early_termination: bool = True,
-                 layer_order=(),):
+                 layer_order=(), d_input: bool = False):
     et = early_termination
     by_row, _ = _row_plan(params)
     nc, nr, Z = params.num_cols, params.num_rows, params.Z_c
@@ -267,6 +272,12 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
     E = len(params.edges[0])
     flooding = schedule == "flooding"
     row_seq = list(layer_order) if layer_order else list(range(nr))
+    # channel_format='d': the input is the raw (nc-2)*Z circular-buffer LLRs
+    # (fillers NOT pinned); the 2Z punctured zeros are synthesized and the
+    # statically-known filler lanes pinned to FILLER_LLR at load time, in
+    # VMEM — skipping the concat + set materialization the caller would
+    # otherwise stream through HBM.  Values are identical to the 'cw' path.
+    flo, fhi = params.filler_range_d if d_input else (0, 0)
 
     # Layered delta-rotation: totals[c] is kept in the check coordinates of
     # the row that last touched column c, so each edge needs a single roll
@@ -309,11 +320,35 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                 valid = (zlane < Z).astype(jnp.float32)
             else:
                 valid = None
-        # Channel LLRs arrive already padded to (Bt, nc*W); load per column
+        def load_col(c):
+            """Channel LLRs of codeword column c, in variable coordinates.
+
+            'cw' format: the caller materialized the full codeword buffer.
+            'd' format: columns 0-1 (the always-punctured 2Z systematic
+            bits, NRLDPCDecoder.m:262) are synthesized as zeros and the
+            statically-known filler lanes pinned to FILLER_LLR here in
+            VMEM, so the caller streams only the raw circular buffer.
+            """
+            if not d_input:
+                return llr_ref[:, c * W : (c + 1) * W]
+            if c < 2:
+                return jnp.zeros((Bt, W), jnp.float32)
+            col = llr_ref[:, (c - 2) * W : (c - 1) * W]
+            lf = max(flo - (c - 2) * Z, 0)
+            hf = min(fhi - (c - 2) * Z, Z)
+            if lf < hf:  # this column intersects the filler hole
+                zloc = (
+                    phase
+                    if phase is not None
+                    else jax.lax.broadcasted_iota(jnp.int32, (Bt, W), 1)
+                )
+                col = jnp.where((zloc >= lf) & (zloc < hf), FILLER_LLR, col)
+            return col
+
+        # Channel LLRs arrive already padded to (Bt, nci*W); load per column
         # (layered: pre-rotated to each column's rest coordinates).
         for c in range(nc):
-            col = llr_ref[:, c * W : (c + 1) * W]
-            totals[c] = _roll_fwd(col, col_shift.get(c, 0), Z, W, phase)
+            totals[c] = _roll_fwd(load_col(c), col_shift.get(c, 0), Z, W, phase)
             if not flooding and et:
                 # iterations == 0 must output the channel hard decision
                 out_vals[c] = totals[c]
@@ -408,7 +443,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                 # freezes or latches, flags/counters are settled post-loop
                 if flooding:
                     for c in range(nc):
-                        totals[c] = llr_ref[:, c * W : (c + 1) * W] + acc[c]
+                        totals[c] = load_col(c) + acc[c]
                 return it + 1, done, used
             sweep_ok = reduce_ok(bad_bits)
             newly = jnp.maximum(done, sweep_ok) - done  # {0,1}
@@ -419,7 +454,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                 # deferred to acc, so totals still hold the checked state.
                 keep_out = jnp.logical_or((done + newly) > 0.5, it >= iterations)
                 for c in range(nc):
-                    new_t = llr_ref[:, c * W : (c + 1) * W] + acc[c]
+                    new_t = load_col(c) + acc[c]
                     totals[c] = jnp.where(keep_out, totals[c], new_t)
             else:
                 # Latch the output state of every not-yet-done codeword (in
@@ -521,13 +556,15 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
 def _build(params: LDPCParams, iterations: int, algorithm: str, schedule: str,
            alpha: float, beta: float, Bt: int, interpret: bool = False,
            dtype_name: str = "float32", P: int = 1,
-           early_termination: bool = True, layer_order=()):
+           early_termination: bool = True, layer_order=(),
+           d_input: bool = False):
     nc, Z = params.num_cols, params.Z_c
+    nci = nc - 2 if d_input else nc  # input columns (see channel_format)
     W = _pad_width(max(P, 1) * Z)
     E = len(params.edges[0])
     dtype = jnp.dtype(dtype_name)
     kernel = _make_kernel(params, iterations, algorithm, schedule, alpha, beta,
-                          Bt, dtype, P, early_termination, layer_order)
+                          Bt, dtype, P, early_termination, layer_order, d_input)
     flooding = schedule == "flooding"
     outw = W if P > 1 else 1  # per-lane flags for packed tiles
 
@@ -538,14 +575,14 @@ def _build(params: LDPCParams, iterations: int, algorithm: str, schedule: str,
         pltpu.VMEM((nc, Bt, W), jnp.float32),
     ]
 
-    def call(llr_pad):  # (batch, nc*W), batch % Bt == 0
+    def call(llr_pad):  # (batch, nci*W), batch % Bt == 0
         batch = llr_pad.shape[0]
         grid = (batch // Bt,)
         bits, ok, iters = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((Bt, nc * W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Bt, nci * W), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec((Bt, nc * W), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -588,8 +625,18 @@ def decode(
     message_dtype: str = "float32",
     lane_pack: int = 0,
     layer_order="reversed",
+    channel_format: str = "cw",
 ) -> DecodeResult:
     """BP decode of (..., num_cols*Z) LLRs fully in VMEM.
+
+    channel_format='cw' (default): ``llr`` is the full (..., num_cols*Z)
+    codeword buffer — punctured 2Z zeros prepended and fillers already
+    pinned by the caller.  channel_format='d': ``llr`` is the raw
+    (..., (num_cols-2)*Z) rate-matching circular buffer (TS38.212 d, with
+    fillers NOT pinned); the kernel synthesizes the punctured zeros and
+    pins the statically-known filler lanes at load time in VMEM, saving
+    the caller one full-buffer HBM materialization.  Decoded values are
+    bit-identical between the two formats.
 
     schedule='layered' converges ~2x faster per iteration; 'flooding'
     reproduces the trajectory of ops.decoder_fast / MATLAB comm.LDPCDecoder
@@ -638,24 +685,28 @@ def decode(
             batch_tile = FLOODING_BATCH_TILE_BF16 if bf16 else FLOODING_BATCH_TILE
         else:
             batch_tile = LAYERED_BATCH_TILE_BF16 if bf16 else LAYERED_BATCH_TILE
+    if channel_format not in ("cw", "d"):
+        raise ValueError(f"unsupported channel_format {channel_format!r}")
     nc, Z = params.num_cols, params.Z_c
+    d_input = channel_format == "d"
+    nci = nc - 2 if d_input else nc
     P = _auto_pack(Z) if lane_pack == 0 else lane_pack
     if P < 1:
         raise ValueError(f"lane_pack={lane_pack} invalid for Z={Z}")
     W = _pad_width(P * Z)
-    assert llr.shape[-1] == nc * Z
+    assert llr.shape[-1] == nci * Z
     batch_shape = llr.shape[:-1]
-    flat = llr.astype(jnp.float32).reshape(-1, nc, Z)
+    flat = llr.astype(jnp.float32).reshape(-1, nci, Z)
     batch = flat.shape[0]
     if P > 1:
         # pack P codewords side by side on the lane axis
         padb = (-batch) % P
         if padb:
             flat = jnp.concatenate(
-                [flat, jnp.full((padb, nc, Z), _PAD_LLR, jnp.float32)], axis=0
+                [flat, jnp.full((padb, nci, Z), _PAD_LLR, jnp.float32)], axis=0
             )
         nb = (batch + padb) // P
-        flat = flat.reshape(nb, P, nc, Z).swapaxes(1, 2).reshape(nb, nc, P * Z)
+        flat = flat.reshape(nb, P, nci, Z).swapaxes(1, 2).reshape(nb, nci, P * Z)
         if P * Z < W:
             flat = jnp.pad(
                 flat, ((0, 0), (0, 0), (0, W - P * Z)), constant_values=_PAD_LLR
@@ -666,18 +717,19 @@ def decode(
             flat = jnp.pad(
                 flat, ((0, 0), (0, 0), (0, W - Z)), constant_values=_PAD_LLR
             )
-    flat = flat.reshape(-1, nc * W)
+    flat = flat.reshape(-1, nci * W)
     pad = (-nb) % batch_tile
     if pad:
         flat = jnp.concatenate(
-            [flat, jnp.full((pad, nc * W), _PAD_LLR, jnp.float32)], axis=0
+            [flat, jnp.full((pad, nci * W), _PAD_LLR, jnp.float32)], axis=0
         )
 
     order = (_resolve_layer_order(params, layer_order)
              if schedule == "layered" else ())
     call = _build(params, iterations, algorithm, schedule, alpha, beta,
                   batch_tile, interpret, dtype_name=jnp.dtype(dtype).name, P=P,
-                  early_termination=early_termination, layer_order=order)
+                  early_termination=early_termination, layer_order=order,
+                  d_input=d_input)
     bits, ok, iters = call(flat)
 
     if P > 1:

@@ -92,6 +92,87 @@ def modulate(bits: jax.Array, modulation: str) -> jax.Array:
     return table[idx]
 
 
+def modulate_planes(e_planes: jax.Array, modulation: str) -> jax.Array:
+    """``modulate(interleave(e))`` with both element-shuffles fused away.
+
+    The Section 5.4.2.2 interleaver (ops/rate_match.interleave) places
+    deinterleaved stream i of ``e`` at bit position i of every symbol, and
+    TS38.211 square constellations map even/odd bit positions to the
+    Re/Im axes independently — so symbols are a function of the Q_m
+    CONTIGUOUS planes of ``e``, and the per-element (S, Q_m) transpose the
+    interleaver implies never needs to materialize.
+
+    e_planes: (..., Q_m, S) bits, plane i = e[i*S : (i+1)*S].
+    Returns (..., S) symbols == ``modulate(interleave(e), modulation)``
+    bit-exactly (QPSK/BPSK by identical arithmetic; QAM reads the same
+    per-axis level table the constellation defines).
+    """
+    qm = Q_M[modulation]
+    assert e_planes.shape[-2] == qm
+    s = 1.0 - 2.0 * e_planes.astype(jnp.float32)
+    if modulation == "BPSK":
+        v = s[..., 0, :] / np.float32(np.sqrt(2.0))
+        return jax.lax.complex(v, v)
+    if modulation == "QPSK":
+        v = s / np.float32(np.sqrt(2.0))
+        return jax.lax.complex(v[..., 0, :], v[..., 1, :])
+    # Square QAM: per-axis level from the even (Re) / odd (Im) bit planes,
+    # read from the SAME f32 level table demodulation uses (exactly the
+    # constellation() values, so table-gather modulate agrees bit-for-bit).
+    levels, _ = _pam_levels(modulation)
+    lv = jnp.asarray(levels)
+    half = qm // 2
+
+    def axis_level(planes):  # (..., half, S) bits -> (..., S) level
+        idx = jnp.zeros(planes.shape[:-2] + planes.shape[-1:], jnp.int32)
+        for k in range(half):
+            idx = idx + (planes[..., k, :].astype(jnp.int32) << (half - 1 - k))
+        return lv[idx]
+
+    bits = e_planes.astype(jnp.int32)
+    return jax.lax.complex(
+        axis_level(bits[..., 0::2, :]), axis_level(bits[..., 1::2, :])
+    )
+
+
+def demodulate_planes(
+    y: jax.Array, modulation: str, noise_var, method: str = "exact"
+) -> jax.Array:
+    """``deinterleave(demodulate(y))`` reshaped to LLR planes, shuffle-free.
+
+    Returns (..., Q_m, S) where plane i holds the LLRs of deinterleaved
+    stream i (bit position i of every symbol) — exactly
+    ``deinterleave(demodulate(y, ...), Q_m).reshape(..., Q_m, S)`` but
+    assembled from the demodulator's native per-axis outputs with
+    S-contiguous plane concatenation instead of two element-granular
+    transposes.  Values are bit-identical (same per-element arithmetic).
+    """
+    qm = Q_M[modulation]
+    if modulation in ("BPSK", "QPSK") and method in ("exact", "maxlog"):
+        scale = 2.0 * np.sqrt(2.0) / noise_var
+        if modulation == "BPSK":
+            return (scale * (jnp.real(y) + jnp.imag(y)))[..., None, :]
+        return jnp.stack(
+            [scale * jnp.real(y), scale * jnp.imag(y)], axis=-2
+        )
+    if qm >= 2:
+        re_p = _pam_axis_planes(jnp.real(y), modulation, noise_var, method)
+        im_p = _pam_axis_planes(jnp.imag(y), modulation, noise_var, method)
+        # plane order re0, im0, re1, im1, ... = bit positions 0, 1, 2, 3, ...
+        llr = jnp.stack([re_p, im_p], axis=-2).reshape(
+            y.shape[:-1] + (qm,) + y.shape[-1:]
+        )
+        if method == "hard":
+            big = jnp.asarray(jnp.finfo(llr.dtype).max, llr.dtype)
+            llr = jnp.where(llr >= 0, big, -big)
+        return llr
+    # General fallback (BPSK 'hard'): one explicit transpose.
+    llr = demodulate(y, modulation, noise_var, method)
+    return jnp.swapaxes(
+        llr.reshape(llr.shape[:-1] + (y.shape[-1], qm)), -1, -2
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _pam_levels(modulation: str):
     """Per-axis PAM decomposition of a square NR QAM constellation.
@@ -151,30 +232,36 @@ def demodulate(
     return _demodulate_full(y, modulation, noise_var, method)
 
 
-def _demodulate_pam(y, modulation, noise_var, method):
-    qm = Q_M[modulation]
+def _pam_axis_planes(coord, modulation, noise_var, method):
+    """One axis's PAM LLRs as bit planes: (..., S) real -> (..., half, S)."""
     levels, bits = _pam_levels(modulation)  # (L,), (L, qm/2)
     lv = jnp.asarray(levels)
-    half = qm // 2
-
-    def axis_llrs(coord):  # (..., S) real -> (..., S, half)
-        metric = -jnp.square(coord[..., None] - lv) / noise_var  # (..., S, L)
-        m0 = jnp.where(jnp.asarray(bits).T[:, :] > 0.5, -jnp.inf, 0.0)  # (half, L)
-        m1 = jnp.where(jnp.asarray(bits).T[:, :] > 0.5, 0.0, -jnp.inf)
+    metric = -jnp.square(coord[..., None] - lv) / noise_var  # (..., S, L)
+    planes = []
+    for b in range(bits.shape[1]):
+        m0 = jnp.where(jnp.asarray(bits[:, b]) > 0.5, -jnp.inf, 0.0)  # (L,)
+        m1 = jnp.where(jnp.asarray(bits[:, b]) > 0.5, 0.0, -jnp.inf)
         if method == "exact":
-            llr0 = jax.nn.logsumexp(metric[..., None, :] + m0, axis=-1)
-            llr1 = jax.nn.logsumexp(metric[..., None, :] + m1, axis=-1)
+            llr0 = jax.nn.logsumexp(metric + m0, axis=-1)
+            llr1 = jax.nn.logsumexp(metric + m1, axis=-1)
         elif method in ("maxlog", "hard"):
-            llr0 = jnp.max(metric[..., None, :] + m0, axis=-1)
-            llr1 = jnp.max(metric[..., None, :] + m1, axis=-1)
+            llr0 = jnp.max(metric + m0, axis=-1)
+            llr1 = jnp.max(metric + m1, axis=-1)
         else:
             raise ValueError(f"unsupported method {method}")
-        return llr0 - llr1  # (..., S, half)
+        planes.append(llr0 - llr1)
+    return jnp.stack(planes, axis=-2)  # (..., half, S)
 
-    re = axis_llrs(jnp.real(y))
-    im = axis_llrs(jnp.imag(y))
+
+def _demodulate_pam(y, modulation, noise_var, method):
+    qm = Q_M[modulation]
+    re = _pam_axis_planes(jnp.real(y), modulation, noise_var, method)
+    im = _pam_axis_planes(jnp.imag(y), modulation, noise_var, method)
     # interleave: even bit positions from Re, odd from Im
-    llr = jnp.stack([re, im], axis=-1).reshape(y.shape + (qm,))
+    llr = jnp.stack([re, im], axis=-2)  # (..., half, 2, S)
+    llr = jnp.moveaxis(
+        llr.reshape(y.shape[:-1] + (qm,) + y.shape[-1:]), -2, -1
+    )  # (..., S, qm)
     if method == "hard":
         big = jnp.asarray(jnp.finfo(llr.dtype).max, llr.dtype)
         llr = jnp.where(llr >= 0, big, -big)

@@ -253,3 +253,57 @@ def test_lbrm_harq_roundtrip():
         got = res
     assert np.asarray(got.tb_ok).all()
     np.testing.assert_array_equal(np.asarray(got.a_hat), np.asarray(a))
+
+
+@pytest.mark.parametrize(
+    "modulation,A,G",
+    [
+        ("BPSK", 100, 600),
+        ("QPSK", 100, 300),
+        ("16QAM", 3000, 9000 - 9000 % 4),
+        ("64QAM", 100, 300),
+        ("256QAM", 4000, 12000),
+    ],
+)
+def test_fused_symbol_path_matches_composition(modulation, A, G):
+    """encode_to_symbols == modulate(encode_transport_block) and
+    split_rate_matched_symbols == split_rate_matched(demodulate) — the
+    interleaver-fusion the chain runs on must be value-exact, every
+    modulation order, including multi-code-block configs."""
+    from ldpc_3gpp_tpu.models.decoder import (
+        split_rate_matched,
+        split_rate_matched_symbols,
+    )
+    from ldpc_3gpp_tpu.models.encoder import encode_to_symbols
+    from ldpc_3gpp_tpu.ops.modulation import Q_M
+
+    qm = Q_M[modulation]
+    G -= G % qm
+    p = LDPCParams(BG=2, A=A, G=G, Q_m=qm)
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.integers(0, 2, size=(3, p.A)).astype(np.int8))
+
+    tx_ref = jax.jit(
+        lambda a: modulate(encode_transport_block(p, a), modulation)
+    )(a)
+    tx_fused = jax.jit(partial(encode_to_symbols, p, modulation=modulation))(a)
+    np.testing.assert_array_equal(np.asarray(tx_ref), np.asarray(tx_fused))
+
+    var = esn0_to_variance(2.0)
+    rx = awgn(jax.random.PRNGKey(3), tx_ref, var)
+    for method in ("exact", "maxlog"):
+        d_ref = jax.jit(
+            lambda y: split_rate_matched(
+                p, demodulate(y, modulation, var, method)
+            )
+        )(rx)
+        d_fused = jax.jit(
+            partial(
+                split_rate_matched_symbols,
+                p,
+                modulation=modulation,
+                noise_var=var,
+                method=method,
+            )
+        )(rx)
+        np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(d_fused))

@@ -288,3 +288,63 @@ def test_auto_backend_dispatch():
     llr = jnp.asarray(RNG.normal(size=(4, p.num_cols * p.Z_c)).astype(np.float32))
     r = DECODE_BACKENDS["auto"](p, llr, algorithm="min-sum", iterations=3)
     assert r.bits.shape == (4, p.num_cols * p.Z_c)
+
+
+def _d_and_cw_llrs(p, batch, seed=11):
+    """Random circular-buffer LLRs d~ and the equivalent materialized cw."""
+    from ldpc_3gpp_tpu.models.decoder import FILLER_LLR
+
+    rng = np.random.default_rng(seed)
+    N = (p.num_cols - 2) * p.Z_c
+    d = rng.normal(scale=3.0, size=(batch, N)).astype(np.float32)
+    cw = np.concatenate([np.zeros((batch, 2 * p.Z_c), np.float32), d], axis=-1)
+    if p.K_prime < p.K:
+        cw[:, p.K_prime : p.K] = FILLER_LLR
+    return jnp.asarray(d), jnp.asarray(cw)
+
+
+@pytest.mark.parametrize(
+    "schedule",
+    ["layered", pytest.param("flooding", marks=pytest.mark.slow)],
+)
+def test_channel_format_d_matches_cw(schedule):
+    """channel_format='d' (in-kernel punctured zeros + filler pinning) is
+    bit-exact vs the materialized 'cw' input on a filler-bearing, packed
+    config — every output field."""
+    p = LDPCParams(BG=2, A=100, G=300, Q_m=2)  # Z=20: fillers AND lane packing
+    assert p.K_prime < p.K and p.K_prime >= 2 * p.Z_c
+    d, cw = _d_and_cw_llrs(p, 3)
+    kw = dict(iterations=4, schedule=schedule, interpret=True)
+    rd = jax.jit(partial(decode_pallas, p, channel_format="d", **kw))(d)
+    rc = jax.jit(partial(decode_pallas, p, **kw))(cw)
+    np.testing.assert_array_equal(np.asarray(rd.bits), np.asarray(rc.bits))
+    np.testing.assert_array_equal(
+        np.asarray(rd.parity_ok), np.asarray(rc.parity_ok)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rd.iterations), np.asarray(rc.iterations)
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("schedule", ["layered", "flooding"])
+@pytest.mark.parametrize("early_termination", [True, False])
+def test_channel_format_d_matches_cw_unpacked(schedule, early_termination):
+    """Same equivalence on the unpacked lane-aligned bench shape family
+    (BG1 Z=128, no fillers) across both early-termination modes.  Together
+    with the filler-bearing packed flooding case this covers what the quick
+    tier's single layered case doesn't."""
+    d, cw = _d_and_cw_llrs(P128, 4, seed=23)
+    kw = dict(
+        iterations=5, schedule=schedule,
+        early_termination=early_termination, interpret=True,
+    )
+    rd = jax.jit(partial(decode_pallas, P128, channel_format="d", **kw))(d)
+    rc = jax.jit(partial(decode_pallas, P128, **kw))(cw)
+    np.testing.assert_array_equal(np.asarray(rd.bits), np.asarray(rc.bits))
+    np.testing.assert_array_equal(
+        np.asarray(rd.parity_ok), np.asarray(rc.parity_ok)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rd.iterations), np.asarray(rc.iterations)
+    )
