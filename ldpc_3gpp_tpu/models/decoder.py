@@ -66,7 +66,9 @@ def _bp_decode_auto(params, llr, *, algorithm, schedule="layered", **kw):
             params, llr, algorithm=algorithm, schedule=schedule, **kw
         )
     kw.pop("message_dtype", None)  # perf knob of the kernel, not semantics
-    assert kw.pop("channel_format", "cw") == "cw"  # kernel-only input format
+    # kernel-only input/output formats must not reach the XLA paths
+    assert kw.pop("channel_format", "cw") == "cw"
+    assert kw.pop("output_format", "cw") == "cw"
     if schedule == "layered":
         return bp_decode_layered(params, llr, algorithm=algorithm, **kw)
     return bp_decode_fast(params, llr, algorithm=algorithm, **kw)
@@ -262,6 +264,9 @@ def decode_transport_block_d(
     if _kernel_engaged(backend, algorithm, params) and Kp >= 2 * Z:
         dec_llr = d_tilde
         extra["channel_format"] = "d"
+        # the chain reads only the K systematic+filler bits of c_hat below;
+        # let the kernel skip the parity columns' output entirely
+        extra["output_format"] = "sys"
     else:
         zeros2z = jnp.zeros(batch_shape + (C, 2 * Z), jnp.float32)
         dec_llr = jnp.concatenate([zeros2z, d_tilde], axis=-1)
@@ -279,7 +284,7 @@ def decode_transport_block_d(
         schedule=schedule,
         **extra,
     )
-    c_hat = res.bits  # (..., C, num_cols*Z)
+    c_hat = res.bits  # (..., C, num_cols*Z), or (..., C, K) from the kernel
 
     # Section 5.2.2 inverse: CB CRC gate (only exists when C > 1,
     # NRLDPCDecoder.m:298-301) and scheduled-code-block masking.

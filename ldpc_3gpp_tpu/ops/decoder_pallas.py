@@ -264,7 +264,8 @@ def _resolve_layer_order(params: LDPCParams, layer_order):
 def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                  schedule: str, alpha: float, beta: float, Bt: int,
                  dtype=jnp.float32, P: int = 1, early_termination: bool = True,
-                 layer_order=(), d_input: bool = False):
+                 layer_order=(), d_input: bool = False,
+                 sys_output: bool = False):
     et = early_termination
     by_row, _ = _row_plan(params)
     nc, nr, Z = params.num_cols, params.num_rows, params.Z_c
@@ -272,6 +273,13 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
     E = len(params.edges[0])
     flooding = schedule == "flooding"
     row_seq = list(layer_order) if layer_order else list(range(nr))
+    # output_format='sys': emit hard bits only for the num_sys_cols columns
+    # covering the K systematic+filler bits the TB chain consumes — the
+    # parity columns' bits (2/3 of the codeword) are never read downstream,
+    # so skipping them shrinks the output write 3x and, on the layered
+    # schedule, drops their epilogue un-rotations and per-sweep latches.
+    out_cols = params.num_sys_cols if sys_output else nc
+    assert out_cols * Z >= params.K
     # channel_format='d': the input is the raw (nc-2)*Z circular-buffer LLRs
     # (fillers NOT pinned); the 2Z punctured zeros are synthesized and the
     # statically-known filler lanes pinned to FILLER_LLR at load time, in
@@ -349,7 +357,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
         # (layered: pre-rotated to each column's rest coordinates).
         for c in range(nc):
             totals[c] = _roll_fwd(load_col(c), col_shift.get(c, 0), Z, W, phase)
-            if not flooding and et:
+            if not flooding and et and c < out_cols:
                 # iterations == 0 must output the channel hard decision
                 out_vals[c] = totals[c]
         c2v[...] = jnp.zeros((E, Bt, W), dtype)
@@ -464,7 +472,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                 # `iterations - 1`, i.e. exactly `iterations` updates
                 # (matches ops/decoder_layered.py).
                 notdone = done < 0.5
-                for c in range(nc):
+                for c in range(out_cols):
                     out_vals[c] = jnp.where(notdone, totals[c], out_vals[c])
             used = used + newly * it.astype(jnp.float32)
             done = jnp.maximum(done, sweep_ok)
@@ -504,7 +512,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                 ]
                 bad_bits = row_parity(t, bad_bits)
             ok_ref[...] = reduce_ok(bad_bits).astype(jnp.int32)
-            for c in range(nc):
+            for c in range(out_cols):
                 val = (
                     totals[c]
                     if flooding
@@ -518,13 +526,13 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
         it_ref[...] = used.astype(jnp.int32)
 
         if flooding:
-            for c in range(nc):
+            for c in range(out_cols):
                 bits_ref[:, c * W : (c + 1) * W] = (
                     totals[c] < 0.0
                 ).astype(jnp.int8)
             ok_ref[...] = done.astype(jnp.int32)
         else:
-            for c in range(nc):
+            for c in range(out_cols):
                 # rotate each column back from its rest coordinates
                 val = _roll_bwd(out_vals[c], col_shift.get(c, 0), Z, W, phase)
                 bits_ref[:, c * W : (c + 1) * W] = (val < 0.0).astype(jnp.int8)
@@ -557,22 +565,25 @@ def _build(params: LDPCParams, iterations: int, algorithm: str, schedule: str,
            alpha: float, beta: float, Bt: int, interpret: bool = False,
            dtype_name: str = "float32", P: int = 1,
            early_termination: bool = True, layer_order=(),
-           d_input: bool = False):
+           d_input: bool = False, sys_output: bool = False):
     nc, Z = params.num_cols, params.Z_c
     nci = nc - 2 if d_input else nc  # input columns (see channel_format)
+    out_cols = params.num_sys_cols if sys_output else nc
     W = _pad_width(max(P, 1) * Z)
     E = len(params.edges[0])
     dtype = jnp.dtype(dtype_name)
     kernel = _make_kernel(params, iterations, algorithm, schedule, alpha, beta,
-                          Bt, dtype, P, early_termination, layer_order, d_input)
+                          Bt, dtype, P, early_termination, layer_order, d_input,
+                          sys_output)
     flooding = schedule == "flooding"
     outw = W if P > 1 else 1  # per-lane flags for packed tiles
 
     scratch = [
         pltpu.VMEM((nc, Bt, W), jnp.float32),  # totals: always f32
         pltpu.VMEM((E, Bt, W), dtype),  # check messages: the storage knob
-        # flooding: deferred-update accumulator; layered: latched output state
-        pltpu.VMEM((nc, Bt, W), jnp.float32),
+        # flooding: deferred-update accumulator (all columns); layered:
+        # latched output state (only the emitted columns)
+        pltpu.VMEM(((nc if flooding else out_cols), Bt, W), jnp.float32),
     ]
 
     def call(llr_pad):  # (batch, nci*W), batch % Bt == 0
@@ -585,12 +596,12 @@ def _build(params: LDPCParams, iterations: int, algorithm: str, schedule: str,
                 pl.BlockSpec((Bt, nci * W), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((Bt, nc * W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Bt, out_cols * W), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((Bt, outw), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((Bt, outw), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((batch, nc * W), jnp.int8),
+                jax.ShapeDtypeStruct((batch, out_cols * W), jnp.int8),
                 jax.ShapeDtypeStruct((batch, outw), jnp.int32),
                 jax.ShapeDtypeStruct((batch, outw), jnp.int32),
             ),
@@ -626,6 +637,7 @@ def decode(
     lane_pack: int = 0,
     layer_order="reversed",
     channel_format: str = "cw",
+    output_format: str = "cw",
 ) -> DecodeResult:
     """BP decode of (..., num_cols*Z) LLRs fully in VMEM.
 
@@ -637,6 +649,13 @@ def decode(
     pins the statically-known filler lanes at load time in VMEM, saving
     the caller one full-buffer HBM materialization.  Decoded values are
     bit-identical between the two formats.
+
+    output_format='cw' (default): ``bits`` covers the full num_cols*Z
+    codeword.  output_format='sys': ``bits`` covers only the first
+    num_sys_cols*Z = K systematic+filler positions (all the TB chain
+    reads) — identical to the 'cw' prefix, but the parity columns' output
+    write (2/3 of the codeword) and, on the layered schedule, their
+    epilogue un-rotations and per-sweep output latches are skipped.
 
     schedule='layered' converges ~2x faster per iteration; 'flooding'
     reproduces the trajectory of ops.decoder_fast / MATLAB comm.LDPCDecoder
@@ -687,9 +706,12 @@ def decode(
             batch_tile = LAYERED_BATCH_TILE_BF16 if bf16 else LAYERED_BATCH_TILE
     if channel_format not in ("cw", "d"):
         raise ValueError(f"unsupported channel_format {channel_format!r}")
+    if output_format not in ("cw", "sys"):
+        raise ValueError(f"unsupported output_format {output_format!r}")
     nc, Z = params.num_cols, params.Z_c
     d_input = channel_format == "d"
     nci = nc - 2 if d_input else nc
+    nco = params.num_sys_cols if output_format == "sys" else nc
     P = _auto_pack(Z) if lane_pack == 0 else lane_pack
     if P < 1:
         raise ValueError(f"lane_pack={lane_pack} invalid for Z={Z}")
@@ -729,13 +751,13 @@ def decode(
     call = _build(params, iterations, algorithm, schedule, alpha, beta,
                   batch_tile, interpret, dtype_name=jnp.dtype(dtype).name, P=P,
                   early_termination=early_termination, layer_order=order,
-                  d_input=d_input)
+                  d_input=d_input, sys_output=output_format == "sys")
     bits, ok, iters = call(flat)
 
     if P > 1:
-        bits = bits[:nb].reshape(nb, nc, W)[:, :, : P * Z]
+        bits = bits[:nb].reshape(nb, nco, W)[:, :, : P * Z]
         bits = (
-            bits.reshape(nb, nc, P, Z).swapaxes(1, 2).reshape(nb * P, nc * Z)
+            bits.reshape(nb, nco, P, Z).swapaxes(1, 2).reshape(nb * P, nco * Z)
         )[:batch]
         # per-lane flags are uniform within a segment: read lane k*Z
         ok = ok[:nb, : P * Z].reshape(nb, P, Z)[:, :, 0].reshape(nb * P)[:batch]
@@ -743,10 +765,10 @@ def decode(
             iters[:nb, : P * Z].reshape(nb, P, Z)[:, :, 0].reshape(nb * P)
         )[:batch]
     else:
-        bits = bits[:batch].reshape(batch, nc, W)[:, :, :Z].reshape(batch, nc * Z)
+        bits = bits[:batch].reshape(batch, nco, W)[:, :, :Z].reshape(batch, nco * Z)
         ok = ok[:batch, 0]
         iters = iters[:batch, 0]
-    bits = bits.reshape(batch_shape + (nc * Z,))
+    bits = bits.reshape(batch_shape + (nco * Z,))
     ok = ok.astype(bool).reshape(batch_shape)
     iters = iters.reshape(batch_shape)
     return DecodeResult(bits=bits, parity_ok=ok, iterations=iters)

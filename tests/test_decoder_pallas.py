@@ -348,3 +348,27 @@ def test_channel_format_d_matches_cw_unpacked(schedule, early_termination):
     np.testing.assert_array_equal(
         np.asarray(rd.iterations), np.asarray(rc.iterations)
     )
+
+
+@pytest.mark.parametrize("schedule", ["layered", "flooding"])
+def test_output_format_sys_matches_cw_prefix(schedule):
+    """output_format='sys' returns exactly the first K bits of the 'cw'
+    output, with identical flags and iteration counts (parity columns are
+    skipped, nothing else changes)."""
+    p = LDPCParams(BG=2, A=100, G=300, Q_m=2)  # Z=20: fillers, lane packing
+    d, cw = _d_and_cw_llrs(p, 3, seed=31)
+    kw = dict(iterations=4, schedule=schedule, interpret=True)
+    rs = jax.jit(
+        partial(decode_pallas, p, channel_format="d", output_format="sys", **kw)
+    )(d)
+    rc = jax.jit(partial(decode_pallas, p, **kw))(cw)
+    assert rs.bits.shape == (3, p.K)
+    np.testing.assert_array_equal(
+        np.asarray(rs.bits), np.asarray(rc.bits)[:, : p.K]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rs.parity_ok), np.asarray(rc.parity_ok)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rs.iterations), np.asarray(rc.iterations)
+    )
