@@ -87,8 +87,31 @@ def load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
     ]
+    lib.nr_golden_phi.restype = None
+    lib.nr_golden_phi.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long,
+    ]
     _lib = lib
     return lib
+
+
+def golden_phi(x: np.ndarray) -> np.ndarray:
+    """Oracle phi(x) = -log(tanh(x/2)) with XLA:CPU's exact f32 rounding.
+
+    Bit-exact vs ops/decoder._phi on the CPU backend (the reverse-
+    engineered tanh/log recipes in native/golden.cpp) — the primitive
+    behind the sum-product bit-exactness contract.
+    """
+    lib = load()
+    x = np.ascontiguousarray(x, np.float32)
+    out = np.empty_like(x)
+    lib.nr_golden_phi(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        x.size,
+    )
+    return out
 
 
 def golden_encode(

@@ -226,13 +226,78 @@ bool solve_core(const std::vector<std::vector<uint64_t>> &B_rows,
 }
 
 // phi(x) = -log(tanh(x/2)) with the same clamps as the XLA reference
-// (ops/decoder.py:_phi: clip to [1e-9, 38] then evaluate in f32).  libm's
-// tanh/log need not round like XLA's vectorized approximations, so
-// sum-product equality vs the JAX path is tolerance-based, not bit-exact
-// (the min-sum family IS bit-exact; see the decode-core contract below).
+// (ops/decoder.py:_phi: clip to [1e-9, 38] then evaluate in f32) — and,
+// since round 3, the same ROUNDING: xla_tanh_f32 / xla_log_f32 below
+// reproduce XLA:CPU's vectorized f32 tanh and log approximations
+// bit-for-bit (validated on 400k samples spanning the phi domain,
+// tools/exp_xla_phi.py), so the whole sum-product trajectory is bit-exact
+// vs the JAX flooding path instead of tolerance-checked.  The recipes
+// were reverse-engineered empirically from XLA's emitted code:
+//
+//   tanh: Eigen-family 13/7-degree rational in x^2 (FMA-contracted),
+//         identity below |x| < 4e-4, saturation to +-1 at
+//         |x| >= 7.99881172180175781.
+//   log:  cephes/Eigen mantissa-polynomial with the three-way split
+//         evaluation, the e*q1 term carried as the addend of the final
+//         polynomial FMA, and x - x^2/2 summed before the polynomial.
+//
+// The explicit std::fma calls are the contract; the surrounding ops must
+// NOT be re-contracted (the Makefile pins -ffp-contract=off).
+float xla_tanh_f32(float x) {
+  const float kTiny = 0.0004f;
+  const float kSat = 7.99881172180175781f;
+  const float ax = std::fabs(x);
+  if (ax < kTiny) return x;
+  if (ax >= kSat) return x > 0 ? 1.0f : -1.0f;
+  const float x2 = x * x;
+  float p = -2.76076847742355e-16f;
+  p = std::fma(p, x2, 2.00018790482477e-13f);
+  p = std::fma(p, x2, -8.60467152213735e-11f);
+  p = std::fma(p, x2, 5.12229709037114e-08f);
+  p = std::fma(p, x2, 1.48572235717979e-05f);
+  p = std::fma(p, x2, 6.37261928875436e-04f);
+  p = std::fma(p, x2, 4.89352455891786e-03f);
+  p = p * x;
+  float q = 1.19825839466702e-06f;
+  q = std::fma(q, x2, 1.18534705686654e-04f);
+  q = std::fma(q, x2, 2.26843463243900e-03f);
+  q = std::fma(q, x2, 4.89352518554385e-03f);
+  return p / q;
+}
+
+float xla_log_f32(float xin) {
+  const float sqrthf = 0.707106781186547524f;
+  const float q1 = -2.12194440e-4f, q2 = 0.693359375f;
+  uint32_t bits;
+  std::memcpy(&bits, &xin, 4);
+  const int eint = (int)(bits >> 23) - 126;
+  bits = (bits & 0x007fffffu) | 0x3f000000u;  // mantissa in [0.5, 1)
+  float x;
+  std::memcpy(&x, &bits, 4);
+  float e = (float)eint;
+  const float tmp = (x < sqrthf) ? x : 0.0f;
+  e -= (x < sqrthf) ? 1.0f : 0.0f;
+  x = x - 1.0f;
+  x = x + tmp;
+  const float x2 = x * x, x3 = x2 * x;
+  float y, y1, y2;
+  y = std::fma(7.0376836292e-2f, x, -1.1514610310e-1f);
+  y1 = std::fma(-1.2420140846e-1f, x, 1.4249322787e-1f);
+  y2 = std::fma(2.0000714765e-1f, x, -2.4999993993e-1f);
+  y = std::fma(y, x, 1.1676998740e-1f);
+  y1 = std::fma(y1, x, -1.6668057665e-1f);
+  y2 = std::fma(y2, x, 3.3333331174e-1f);
+  y = std::fma(y, x3, y1);
+  y = std::fma(y, x3, y2);
+  y = std::fma(y, x3, e * q1);
+  x = x - x2 * 0.5f;
+  x = x + y;
+  return std::fma(e, q2, x);
+}
+
 float phi_f(float x) {
   x = std::min(std::max(x, 1e-9f), 38.0f);
-  return -std::log(std::tanh(x * 0.5f));
+  return -xla_log_f32(xla_tanh_f32(x * 0.5f));
 }
 
 // Internal BP decode core; totals_out optional (may be nullptr).
@@ -367,6 +432,14 @@ int decode_core_impl(int BG, int Z, int iterations, int algorithm, float alpha,
 }  // namespace
 
 extern "C" {
+
+// Vectorized phi for the bit-exactness CI guard (tests/test_conformance.py
+// checks it against the JAX _phi element-for-element; a mismatch means the
+// XLA version changed its f32 tanh/log rounding and the contract must be
+// re-measured).
+void nr_golden_phi(const float *x, float *out, long n) {
+  for (long i = 0; i < n; ++i) out[i] = phi_f(x[i]);
+}
 
 // Returns 0 on success; negative = unsupported parameters; positive = bug.
 // a: A bits in {0,1}.  g_out: G bits.

@@ -12,9 +12,9 @@ With --decode, fuzzes the full TB-level decode chain instead (beyond the
 reference, whose testbench covers only the encoder): random configs, channel
 draws, and HARQ rv sequences; deinterleave, Chase combining, HARQ buffers,
 filler pinning, BP decode, CB/TB CRC gating all compared bit-for-bit against
-the independent scalar C++ oracle (nr_golden_decode).  Sum-product trials
-additionally check the tolerance contract on the BP core (see
-tests/test_conformance.py::SP_TOL).
+the independent scalar C++ oracle (nr_golden_decode) — every algorithm,
+including sum-product (the oracle's phi reproduces XLA:CPU's f32 tanh/log
+rounding exactly; see tools/exp_xla_phi.py).
 
 Usage:  python tools/testbench.py [--trials N] [--seed S] [--max-a A] [--decode]
 """
@@ -115,27 +115,16 @@ def main():
                     iterations=iters, algorithm=algorithm, state=st_c)
                 if n_rv > 1:
                     st_j, st_c = res_j.state, res_c.state
-                if algorithm == "sum-product":
-                    # phi rounding: flags/iters exact, confident bits equal
-                    same = (
-                        np.array_equal(np.asarray(res_j.parity_ok), res_c.parity_ok)
-                        and np.array_equal(np.asarray(res_j.iterations),
-                                           res_c.iterations)
-                        and bool(res_j.tb_ok) == res_c.tb_ok
-                        and (not res_c.tb_ok
-                             or np.array_equal(np.asarray(res_j.a_hat), res_c.a_hat))
-                    )
-                else:
-                    same = (
-                        np.array_equal(np.asarray(res_j.a_hat), res_c.a_hat)
-                        and bool(res_j.tb_ok) == res_c.tb_ok
-                        and np.array_equal(np.asarray(res_j.cb_crc_ok),
-                                           res_c.cb_crc_ok)
-                        and np.array_equal(np.asarray(res_j.parity_ok),
-                                           res_c.parity_ok)
-                        and np.array_equal(np.asarray(res_j.iterations),
-                                           res_c.iterations)
-                    )
+                same = (
+                    np.array_equal(np.asarray(res_j.a_hat), res_c.a_hat)
+                    and bool(res_j.tb_ok) == res_c.tb_ok
+                    and np.array_equal(np.asarray(res_j.cb_crc_ok),
+                                       res_c.cb_crc_ok)
+                    and np.array_equal(np.asarray(res_j.parity_ok),
+                                       res_c.parity_ok)
+                    and np.array_equal(np.asarray(res_j.iterations),
+                                       res_c.iterations)
+                )
                 if not same:
                     print(f"[{trial}] DECODE MISMATCH: BG{BG} A={A} G={G} "
                           f"C={p.C} Z={p.Z_c} {mod} {algorithm} it={iters} "
