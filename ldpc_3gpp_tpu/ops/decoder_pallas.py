@@ -314,6 +314,24 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
 
     packed = P > 1
 
+    # Flooding's deferred-update accumulator: the first row to touch each
+    # column ASSIGNS instead of adding, so the per-sweep (nc, Bt, W)
+    # zero-fill (and one add per column) disappears.  Static per plan.
+    # Bit-exact vs the former 0-init: `0.0 + r` differs from `r` only at
+    # r == -0.0, and a -0.0 accumulator can only change `totals = llr + acc`
+    # if llr itself were -0.0 — excluded by the same channel-LLR invariant
+    # the sign-bit arithmetic in _check_messages already relies on.
+    acc_first = set()
+    if flooding:
+        seen_cols = set()
+        for r in row_seq:
+            for (e, c, _) in by_row[r]:
+                if c not in seen_cols:
+                    seen_cols.add(c)
+                    acc_first.add(e)
+        untouched_cols = [c for c in range(nc) if c not in seen_cols]
+        assert not untouched_cols  # every column has at least one edge
+
     def kernel(llr_ref, bits_ref, ok_ref, it_ref, totals, c2v, *acc_scratch):
         acc = acc_scratch[0] if flooding else None
         out_vals = None if flooding else acc_scratch[0]
@@ -357,10 +375,15 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
         # (layered: pre-rotated to each column's rest coordinates).
         for c in range(nc):
             totals[c] = _roll_fwd(load_col(c), col_shift.get(c, 0), Z, W, phase)
-            if not flooding and et and c < out_cols:
+            if not flooding and et and iterations == 0 and c < out_cols:
                 # iterations == 0 must output the channel hard decision
+                # (with a budget, the hoisted first sweep's latch writes
+                # every output column, so no init is needed)
                 out_vals[c] = totals[c]
-        c2v[...] = jnp.zeros((E, Bt, W), dtype)
+        if flooding:
+            # Layered hoists a zero-message first sweep instead (below), so
+            # only flooding pays the (E, Bt, W) zero-fill.
+            c2v[...] = jnp.zeros((E, Bt, W), dtype)
 
         def row_parity(t, bad_bits):
             """Fold one row's sign-parity into the sweep accumulator.
@@ -390,12 +413,17 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                 return 1.0 - bad  # (Bt, W)
             return 1.0 - jnp.max(bad, axis=1, keepdims=True)  # (Bt, 1)
 
-        def sweep(carry):
+        def sweep(carry, first=False):
             # done/sweep_ok/used carried as f32 — Mosaic cannot carry i1
             # vectors through scf.while.  Packed tiles (P > 1) carry them
             # per LANE (uniform within each codeword's Z-segment) instead
             # of per sublane row, so every packed codeword still freezes,
             # counts, and reports individually.
+            # ``first=True`` (layered, hoisted out of the while_loop): the
+            # check messages are known to be zero, so the per-edge c2v read
+            # and subtract are skipped — and the (E, Bt, W) zero-fill they
+            # would have consumed never happens.  Bit-identical (x - 0 == x
+            # for every finite non-(-0.0) x, which totals are).
             it, done, used = carry
             bad_bits = jnp.zeros((Bt, W), jnp.int32)
             if flooding:
@@ -407,8 +435,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                 # runs exactly `iterations` update sweeps (cond below).
                 if et:
                     keep = jnp.logical_or(done > 0.5, it >= iterations)
-                for c in range(nc):
-                    acc[c] = jnp.zeros((Bt, W), jnp.float32)
+                # acc is (re)initialized by each column's first edge below
             for r in row_seq:
                 edges = by_row[r]
                 if flooding:
@@ -425,10 +452,14 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                 if et:
                     bad_bits = row_parity(t, bad_bits)
 
-                v = [
-                    te - c2v[e].astype(jnp.float32)
-                    for te, (e, _, _) in zip(t, edges)
-                ]
+                v = (
+                    list(t)
+                    if first
+                    else [
+                        te - c2v[e].astype(jnp.float32)
+                        for te, (e, _, _) in zip(t, edges)
+                    ]
+                )
                 nm = _check_messages(v, algorithm, alpha, beta, Bt, W)
                 for i, (ve, (e, c, s)) in enumerate(zip(v, edges)):
                     if flooding:
@@ -436,7 +467,8 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                             c2v[e] = jnp.where(keep, c2v[e], nm[i].astype(dtype))
                         else:
                             c2v[e] = nm[i].astype(dtype)
-                        acc[c] = acc[c] + _roll_bwd(nm[i], s, Z, W, phase)
+                        rolled = _roll_bwd(nm[i], s, Z, W, phase)
+                        acc[c] = rolled if e in acc_first else acc[c] + rolled
                     else:
                         # Layered: updates run unfrozen — finished codewords
                         # keep evolving harmlessly while their OUTPUT was
@@ -491,9 +523,15 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
             done0 = jnp.zeros((Bt, W), jnp.float32)
         else:
             done0 = jnp.zeros((Bt, 1), jnp.float32)
-        it_final, done, used = jax.lax.while_loop(
-            cond, sweep, (jnp.asarray(0, jnp.int32), done0, done0 * 0.0)
-        )
+        carry0 = (jnp.asarray(0, jnp.int32), done0, done0 * 0.0)
+        if not flooding and iterations > 0:
+            # Hoist sweep 0 (all check messages zero) out of the loop: for a
+            # positive budget the loop condition at it=0 is statically true
+            # (done0 always has an undone lane), so running it eagerly with
+            # first=True is trajectory-identical while skipping the c2v
+            # zero-fill and sweep-0's per-edge reads/subtracts.
+            carry0 = sweep(carry0, first=True)
+        it_final, done, used = jax.lax.while_loop(cond, sweep, carry0)
 
         if not et:
             # Run-to-budget semantics (ops/decoder_fast early_termination=
