@@ -182,3 +182,49 @@ def test_compiled_lane_packing_and_bf16():
     )(llr)
     assert np.asarray(rb.parity_ok).all()
     np.testing.assert_array_equal(np.asarray(rb.bits), cw)
+
+
+def test_bulk_golden_not_stale():
+    """Statistical gate on golden/bulk_montecarlo.json (the artifact that
+    silently went stale in round 2 when the reversed layer order landed).
+
+    Re-measures ~1.3M blocks of the exact golden config through the same
+    MonteCarlo path and requires the BLER to sit within 5 combined sigma of
+    the artifact — a true semantics gate: refactors that preserve the
+    decode trajectory pass untouched, anything that moves the operating
+    point (layer order, algorithm constants, ET semantics) fails until
+    `python tools/regen_goldens.py bulk` re-measures."""
+    import json
+    import math
+    import os
+
+    from ldpc_3gpp_tpu.models.chain import ChainConfig
+    from ldpc_3gpp_tpu.parallel.montecarlo import MonteCarlo
+    from ldpc_3gpp_tpu.utils.rng import fast_key
+
+    path = os.path.join(os.path.dirname(__file__), "..", "golden",
+                        "bulk_montecarlo.json")
+    golden = json.load(open(path))
+    gcfg = golden["config"]
+    p = LDPCParams(BG=gcfg["BG"], A=gcfg["A"], G=gcfg["G"], Q_m=8)
+    cfg = ChainConfig(
+        params=p, modulation=gcfg["modulation"],
+        iterations=gcfg["iterations"], algorithm=gcfg["algorithm"],
+        backend="auto", schedule=gcfg["schedule"],
+    )
+    mc = MonteCarlo(cfg, batch_per_device=512, steps_per_call=8)
+    blocks = errors = 0
+    key = fast_key(777)
+    while blocks < 1_300_000:
+        key, sub = jax.random.split(key)
+        c = mc.run_pipelined(sub, gcfg["esn0_db"], 8)
+        blocks += c["blocks"]
+        errors += c["block_errors"]
+    bler = errors / blocks
+    p_hat = golden["bler"]
+    sigma = math.sqrt(p_hat / blocks + p_hat / golden["blocks"])
+    assert abs(bler - p_hat) < 5 * sigma, (
+        f"bulk golden stale or semantics drifted: measured {bler:.3e} over "
+        f"{blocks} blocks vs golden {p_hat:.3e} (|diff| > 5 sigma = "
+        f"{5*sigma:.2e}) — re-measure with tools/regen_goldens.py bulk"
+    )

@@ -77,9 +77,14 @@ def main():
             last_print = now
     dt = time.time() - t0
     bler = totals["block_errors"] / totals["blocks"]
+    from ldpc_3gpp_tpu.utils.fingerprint import semantics_fingerprint
+
     result = {
         "description": "Bulk Monte-Carlo (BASELINE config #5 at single-chip "
         "scale): fixed-SNR 256QAM link, psum-aggregated counters.",
+        # decoder-semantics stamp: tests/test_tpu_kernel.py's gate flags this
+        # artifact as stale whenever the sources it measures change
+        "semantics": semantics_fingerprint(),
         "config": {
             "BG": args.bg, "A": args.A, "G": G, "modulation": args.modulation,
             "esn0_db": args.esn0, "iterations": args.iterations,

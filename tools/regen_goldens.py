@@ -15,6 +15,7 @@ Stages (run all by default, or name a subset):
   benchcfg  bench_path_bler.json (bench.py config + 64QAM, layered NMS)
   surface   SNR_vs_A_surface.json (A x rate x {1e-1,1e-2} x {SP,MS})
   snrvsa    SNR_vs_A_BG1_R13_QPSK_50it_sumproduct.json + txt
+  bulk      bulk_montecarlo.json (20M 256QAM blocks @ 15.75 dB)
 
 Run sequentially in ONE process — never two TPU processes at once (the
 relay queues and all measurements slow 10-100x).
@@ -32,27 +33,10 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "..", "golden")
 _FORCE_RESUME = False
 
 
-def semantics_fingerprint() -> str:
-    """SHA-256 over the decoder-semantics-relevant sources.
-
-    Stamped into resumable artifacts so a partial regen after a semantics
-    change cannot silently mix stale and fresh measurements: resume only
-    reuses entries whose stamp matches the current sources.
-    """
-    import glob
-    import hashlib
-
-    root = os.path.join(os.path.dirname(__file__), "..", "ldpc_3gpp_tpu")
-    files = sorted(
-        glob.glob(os.path.join(root, "ops", "*.py"))
-        + glob.glob(os.path.join(root, "models", "*.py"))
-        + glob.glob(os.path.join(root, "spec", "*.py"))
-    )
-    h = hashlib.sha256()
-    for f in files:
-        with open(f, "rb") as fid:
-            h.update(fid.read())
-    return h.hexdigest()[:16]
+# Stamped into resumable artifacts so a partial regen after a semantics
+# change cannot silently mix stale and fresh measurements: resume only
+# reuses entries whose stamp matches the current sources.
+from ldpc_3gpp_tpu.utils.fingerprint import semantics_fingerprint  # noqa: E402
 
 
 def _dump(name, obj):
@@ -379,6 +363,20 @@ def snrvsa():
     })
 
 
+def bulk():
+    """Re-measure golden/bulk_montecarlo.json (the artifact that went stale
+    in round 2 when the reversed layer order landed without a bulk regen —
+    the stage exists so that cannot recur)."""
+    import subprocess
+
+    subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "bulk_montecarlo.py"),
+         "--blocks", "20000000", "--esn0", "15.75"],
+        check=True,
+    )
+
+
 STAGES = {
     "headline": None,  # handled specially (feeds spvsms)
     "spvsms": spvsms,
@@ -387,6 +385,7 @@ STAGES = {
     "benchcfg": benchcfg,
     "surface": surface,
     "snrvsa": snrvsa,
+    "bulk": bulk,
 }
 
 
