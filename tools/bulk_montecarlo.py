@@ -28,8 +28,13 @@ def main():
     ap.add_argument("--modulation", default="256QAM")
     ap.add_argument("--esn0", type=float, default=17.0)
     ap.add_argument("--iterations", type=int, default=12)
+    # Deep dispatches: bulk runs have no adaptive host decisions to feed,
+    # so unlike the sweeps there is no reason to keep calls small — 512x128
+    # = 65k blocks/dispatch amortizes the tunnel's ~26 ms send 16x better
+    # than the sweep default (measured 200k -> ~600k TB/s at the golden
+    # config; pure protocol change, the BLER statistics are untouched).
     ap.add_argument("--batch-per-device", type=int, default=512)
-    ap.add_argument("--steps-per-call", type=int, default=8)
+    ap.add_argument("--steps-per-call", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="golden/bulk_montecarlo.json")
     args = ap.parse_args()
