@@ -97,12 +97,14 @@ def main():
 
     batch = 128
     # sim steps per dispatch: amortises host->device launch latency.  The
-    # (batch, steps) surface was re-scanned after the reversed-layer-order
-    # kernel (2026-08-19): 512x64 268k, 256x128 279k, 128x512 292k,
-    # 128x1024 295k TB/s — small power-of-two batches with deep dispatch
-    # win; non-power-of-two batches (96/160/192) collapse to ~150k, and
-    # batch >= 1024 loses ~20%.
-    steps = 1024
+    # (batch, steps) surface was re-scanned after the round-3 kernel/IO
+    # fusions (tools/exp_bench_scan.py): 128x1024 319.0k, 128x2048 320.7k,
+    # 128x4096 321.6k, 256x1024 317.4k TB/s — the deeper loops shave the
+    # tunnel's fixed per-dispatch cost, with diminishing returns; 2048
+    # balances that against bench wall time.  Non-power-of-two batches are
+    # auto-padded by simulate_batch (DESIGN.md 8b); batch >= 1024 loses
+    # ~20% (round-2 scan).
+    steps = 2048
     esn0 = 1.0  # near the BG1 R=1/3 waterfall: realistic iteration mix
 
     def sim_many(key, esn0_db):
@@ -126,7 +128,7 @@ def main():
     # and fetch ONE aggregate scalar (the only reliable sync point over the
     # tunnel) — on-device work then pipelines behind the transfers.  Best of
     # several trials rides out the shared pool's queueing variance.
-    trials, reps = 4, 8
+    trials, reps = 4, 4  # 2x-deeper dispatches: half the reps, same blocks
     times = []
     errs = 0
     for t in range(trials):
