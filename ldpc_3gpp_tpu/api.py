@@ -90,7 +90,7 @@ class NRLDPCDecoder(_NRLDPCBase):
     """
 
     def __init__(self, *args, I_HARQ=0, iterations=50,
-                 algorithm="sum-product", backend="fast",
+                 algorithm="sum-product", backend="auto",
                  schedule="flooding", **kw):
         super().__init__(*args, **kw)
         self.I_HARQ = I_HARQ

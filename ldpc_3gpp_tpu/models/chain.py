@@ -45,7 +45,12 @@ class ChainConfig:
     beta: float = 0.15
     demod_method: str = "exact"
     early_termination: bool = True
-    backend: str = "fast"  # BP decoder implementation (models.decoder.DECODE_BACKENDS)
+    # BP decoder implementation (models.decoder.DECODE_BACKENDS).  'auto'
+    # engages the Pallas kernel on TPU and the XLA path elsewhere — an
+    # implementation knob, not semantics: the kernel is bit-exact vs the
+    # XLA backends for both schedules (tests/test_tpu_kernel.py), so
+    # user-facing sweeps get kernel speed by default with identical curves.
+    backend: str = "auto"
     schedule: str = "flooding"  # BP schedule ('layered' needs backend auto/pallas)
     message_dtype: str = "float32"  # kernel state dtype ('bfloat16': 2x tile)
 
