@@ -92,6 +92,17 @@ def load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_long,
     ]
+    lib.nr_golden_modulate.restype = ctypes.c_int
+    lib.nr_golden_modulate.argtypes = [
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.nr_golden_demodulate.restype = ctypes.c_int
+    lib.nr_golden_demodulate.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_long, ctypes.POINTER(ctypes.c_double),
+    ]
     _lib = lib
     return lib
 
@@ -112,6 +123,70 @@ def golden_phi(x: np.ndarray) -> np.ndarray:
         x.size,
     )
     return out
+
+
+#: modulation name -> Q_m selector shared with ops.modulation.Q_M
+_QM = {"BPSK": 1, "QPSK": 2, "16QAM": 4, "64QAM": 6, "256QAM": 8}
+
+_DEMOD_METHOD = {"exact": 0, "maxlog": 1, "hard": 2}
+
+
+def golden_modulate(bits: np.ndarray, modulation: str) -> np.ndarray:
+    """Oracle TS38.211 modulation: (..., G) bits -> (..., G/Q_m) complex128.
+
+    Scalar f64 evaluation of the Section 5.1 formulas in native/golden.cpp —
+    the independent conformance counterpart of ops.modulation.modulate
+    (the reference's separately-validated toolbox modulator,
+    NRModulator.m:69-85).
+    """
+    lib = load()
+    qm = _QM[modulation]
+    bits = np.ascontiguousarray(np.asarray(bits, np.uint8))
+    if bits.shape[-1] % qm:
+        raise ValueError(f"bit count must be a multiple of Q_m={qm}")
+    flat = bits.reshape(-1)
+    s = flat.size // qm
+    re = np.empty(s, np.float64)
+    im = np.empty(s, np.float64)
+    rc = lib.nr_golden_modulate(
+        qm,
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), flat.size,
+        re.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        im.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"nr_golden_modulate failed with code {rc}")
+    return (re + 1j * im).reshape(bits.shape[:-1] + (bits.shape[-1] // qm,))
+
+
+def golden_demodulate(
+    y: np.ndarray, modulation: str, noise_var: float, method: str = "exact"
+) -> np.ndarray:
+    """Oracle soft demodulation: (..., S) symbols -> (..., S*Q_m) f64 LLRs.
+
+    Full-constellation scalar f64 log-sum-exp / max-log per bit (positive =
+    bit 0) — deliberately NOT the PAM factorization the JAX demodulator uses
+    (ops/modulation.py::_demodulate_pam), so it independently checks both the
+    factorization and the LLR scale (NRDemodulator.m:72-88 equivalence).
+    'hard' returns +/-1e30 by the max-log sign.
+    """
+    lib = load()
+    qm = _QM[modulation]
+    y = np.ascontiguousarray(np.asarray(y, np.complex128))
+    flat = y.reshape(-1)
+    re = np.ascontiguousarray(flat.real)
+    im = np.ascontiguousarray(flat.imag)
+    llr = np.empty(flat.size * qm, np.float64)
+    rc = lib.nr_golden_demodulate(
+        qm, _DEMOD_METHOD[method], float(noise_var),
+        re.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        im.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        flat.size,
+        llr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"nr_golden_demodulate failed with code {rc}")
+    return llr.reshape(y.shape[:-1] + (y.shape[-1] * qm,))
 
 
 def golden_encode(

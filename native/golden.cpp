@@ -429,9 +429,117 @@ int decode_core_impl(int BG, int Z, int iterations, int algorithm, float alpha,
   return 0;
 }
 
+// TS38.211 Section 5.1 constellation point for the Q_m-bit pattern m
+// (MSB-first, i.e. bit b(Q_m*i) of the stream is the MSB of symbol i).
+// All-f64 evaluation of the spec formulas — the independent oracle for
+// ops/modulation.py (which the reference gets for free from the toolbox's
+// separately-validated comm.PSK/RectangularQAM objects, NRModulator.m:69-85).
+void constellation_point(int qm, unsigned m, double *re, double *im) {
+  double s[8];
+  for (int i = 0; i < qm; ++i)
+    s[i] = 1.0 - 2.0 * (double)((m >> (qm - 1 - i)) & 1u);
+  switch (qm) {
+    case 1:  // BPSK (pi/4): d = ((1-2b) + j(1-2b)) / sqrt(2)
+      *re = s[0] / std::sqrt(2.0);
+      *im = s[0] / std::sqrt(2.0);
+      return;
+    case 2:  // QPSK
+      *re = s[0] / std::sqrt(2.0);
+      *im = s[1] / std::sqrt(2.0);
+      return;
+    case 4:  // 16QAM
+      *re = s[0] * (2.0 - s[2]) / std::sqrt(10.0);
+      *im = s[1] * (2.0 - s[3]) / std::sqrt(10.0);
+      return;
+    case 6:  // 64QAM
+      *re = s[0] * (4.0 - s[2] * (2.0 - s[4])) / std::sqrt(42.0);
+      *im = s[1] * (4.0 - s[3] * (2.0 - s[5])) / std::sqrt(42.0);
+      return;
+    case 8:  // 256QAM
+      *re = s[0] * (8.0 - s[2] * (4.0 - s[4] * (2.0 - s[6]))) /
+            std::sqrt(170.0);
+      *im = s[1] * (8.0 - s[3] * (4.0 - s[5] * (2.0 - s[7]))) /
+            std::sqrt(170.0);
+      return;
+    default:
+      *re = *im = std::numeric_limits<double>::quiet_NaN();
+  }
+}
+
+// Numerically stable f64 log-sum-exp over the metrics collected in `v`.
+double lse(const std::vector<double> &v) {
+  double m = -std::numeric_limits<double>::infinity();
+  for (double x : v) m = std::max(m, x);
+  if (!std::isfinite(m)) return m;
+  double acc = 0.0;
+  for (double x : v) acc += std::exp(x - m);
+  return m + std::log(acc);
+}
+
 }  // namespace
 
 extern "C" {
+
+// Maps n_bits bits (a multiple of Q_m) to n_bits/Q_m complex symbols in f64.
+// Q_m selects the modulation: 1=BPSK 2=QPSK 4=16QAM 6=64QAM 8=256QAM.
+// Returns 0 on success, negative on bad arguments.
+int nr_golden_modulate(int Q_m, const uint8_t *bits, long n_bits,
+                       double *re_out, double *im_out) {
+  if (Q_m != 1 && Q_m != 2 && Q_m != 4 && Q_m != 6 && Q_m != 8) return -1;
+  if (n_bits % Q_m != 0) return -2;
+  const long S = n_bits / Q_m;
+  for (long k = 0; k < S; ++k) {
+    unsigned m = 0;
+    for (int i = 0; i < Q_m; ++i)
+      m = (m << 1) | (bits[k * Q_m + i] & 1u);
+    constellation_point(Q_m, m, re_out + k, im_out + k);
+  }
+  return 0;
+}
+
+// Soft-demodulates n_syms complex symbols to n_syms*Q_m LLRs in f64
+// (positive = bit 0, matching MATLAB comm demodulators / NRDemodulator.m:5).
+// method: 0 = exact log-sum-exp LLR, 1 = max-log, 2 = hard (+/-1e30).
+//
+// Deliberately a different algorithm from ops/modulation.py: the full
+// 2^Q_m-point metric with a scalar stable LSE per bit, instead of the JAX
+// path's per-axis PAM factorization — so an error in the PAM decomposition
+// or the logsumexp masking shows up as a differential mismatch.
+int nr_golden_demodulate(int Q_m, int method, double noise_var,
+                         const double *re, const double *im, long n_syms,
+                         double *llr_out) {
+  if (Q_m != 1 && Q_m != 2 && Q_m != 4 && Q_m != 6 && Q_m != 8) return -1;
+  if (method < 0 || method > 2 || !(noise_var > 0.0)) return -2;
+  const int M = 1 << Q_m;
+  std::vector<double> cre(M), cim(M);
+  for (int m = 0; m < M; ++m) constellation_point(Q_m, (unsigned)m, &cre[m], &cim[m]);
+  std::vector<double> metric(M);
+  std::vector<double> v0, v1;
+  for (long k = 0; k < n_syms; ++k) {
+    for (int m = 0; m < M; ++m) {
+      const double dr = re[k] - cre[m], di = im[k] - cim[m];
+      metric[m] = -(dr * dr + di * di) / noise_var;
+    }
+    for (int b = 0; b < Q_m; ++b) {
+      v0.clear();
+      v1.clear();
+      for (int m = 0; m < M; ++m)
+        (((m >> (Q_m - 1 - b)) & 1) ? v1 : v0).push_back(metric[m]);
+      double l0, l1;
+      if (method == 0) {
+        l0 = lse(v0);
+        l1 = lse(v1);
+      } else {
+        l0 = *std::max_element(v0.begin(), v0.end());
+        l1 = *std::max_element(v1.begin(), v1.end());
+      }
+      double llr = l0 - l1;
+      if (method == 2) llr = (llr >= 0.0) ? 1e30 : -1e30;
+      llr_out[k * Q_m + b] = llr;
+    }
+  }
+  return 0;
+}
 
 // Vectorized phi for the bit-exactness CI guard (tests/test_conformance.py
 // checks it against the JAX _phi element-for-element; a mismatch means the
