@@ -41,6 +41,13 @@ class MonteCarlo:
     """
 
     cfg: ChainConfig
+    #: requested blocks per device per step.  NOTE: values > 64 that are not
+    #: multiples of 128 are rounded UP to the next multiple of 128 at
+    #: construction (a non-multiple costs the same wall time as the next
+    #: multiple, DESIGN.md section 8b, so the extra rows are free real
+    #: Monte-Carlo samples) — read ``batch_per_device`` after construction
+    #: (or ``blocks_per_run``) for the effective value; a UserWarning is
+    #: emitted when rounding changes the number.
     batch_per_device: int = 128
     mesh: Optional[Mesh] = None
     steps_per_call: int = 1  # fori_loop'd sim steps per dispatch (amortises
@@ -49,15 +56,17 @@ class MonteCarlo:
     def __post_init__(self):
         if self.mesh is None:
             self.mesh = default_mesh()
-        # XLA-efficient batch (DESIGN.md section 8b): a batch > 64 that is
-        # not a multiple of 128 costs the SAME wall time as the next
-        # multiple of 128, so round UP — the extra rows are free real
-        # Monte-Carlo samples (counters report the actual blocks simulated).
         eff = _efficient_batch(self.batch_per_device)
         if eff != self.batch_per_device:
-            print(
+            import warnings
+
+            warnings.warn(
                 f"MonteCarlo: batch_per_device {self.batch_per_device} -> "
-                f"{eff} (same wall time per dispatch; see DESIGN.md 8b)"
+                f"{eff} (rounded up to a multiple of 128: same wall time "
+                "per dispatch, DESIGN.md 8b; counters report actual blocks "
+                "simulated — size expectations from .blocks_per_run)",
+                UserWarning,
+                stacklevel=3,
             )
             self.batch_per_device = eff
         mesh, cfg, bpd = self.mesh, self.cfg, self.batch_per_device

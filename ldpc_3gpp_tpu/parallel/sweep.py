@@ -31,24 +31,48 @@ from ..utils.rng import fast_key
 from .montecarlo import MonteCarlo
 
 
-def _scan_resume_file(fname, parse) -> Dict:
-    """Parse a results file for resume, tolerating a torn final line.
+#: annotation prefix for capped (under-sampled) points in results files —
+#: comment-style so the two-column reference format stays parseable by
+#: downstream tooling that splits on whitespace per line.
+CAPPED_PREFIX = "# capped"
 
-    The file is append+flush-per-point, so the very crash resume recovers
-    from can leave a partial or blank last line; skip anything that does
-    not parse as exactly two well-formed fields instead of failing resume.
+
+def _scan_resume_file(fname, parse) -> Dict:
+    """Parse a results file for resume, tolerating only a torn FINAL line.
+
+    The file is append+flush-per-point, so the crash that resume recovers
+    from can leave exactly one partial or blank trailing line.  A malformed
+    INTERIOR line means the file is corrupt or foreign (not produced by this
+    sweep) — resuming from it would silently drop data, so that raises.
+    ``# capped``-annotated points (see CAPPED_PREFIX) are NOT treated as
+    done: a resumed sweep re-simulates them in case the cap was raised.
     """
     done = {}
+    lines = []
     with open(fname) as fid:
-        for line in fid:
-            parts = line.split()
-            if len(parts) != 2:
-                continue
+        lines = fid.readlines()
+    for i, line in enumerate(lines):
+        if line.startswith("#"):
+            continue  # annotation lines (e.g. capped-point markers)
+        parts = line.split()
+        ok = len(parts) == 2
+        if ok:
             try:
                 k, v = parse(parts)
             except ValueError:
-                continue
-            done[k] = v
+                ok = False
+        if not ok:
+            if i == len(lines) - 1:
+                continue  # torn final line from the crash being resumed
+            raise ValueError(
+                f"{fname}:{i + 1}: malformed interior line {line!r} — the "
+                "results file is corrupt or from another tool; refusing to "
+                "resume from partial data"
+            )
+        # a following "# capped" annotation voids the point for resume
+        if i + 1 < len(lines) and lines[i + 1].startswith(CAPPED_PREFIX):
+            continue
+        done[k] = v
     return done
 
 
@@ -59,6 +83,11 @@ class SweepPoint:
     block_errors: int
     bit_errors: int
     iterations: int
+    # True when the point stopped on max_blocks_per_point with fewer than
+    # target_block_errors — the BLER is an under-sampled estimate, not a
+    # converged one (the reference runs to target unconditionally,
+    # plot_BLER_vs_SNR.m:104-171; we cap, but never silently)
+    capped: bool = False
 
     @property
     def bler(self) -> float:
@@ -73,11 +102,28 @@ def _make_config(
     rv_sequence: Sequence[int],
     iterations: int,
     algorithm: str,
+    N_L: int = 1,
+    I_LBRM: int = 0,
+    TBS_LBRM=None,
+    CBGTI: Sequence[int] = (),
     **kw,
 ) -> ChainConfig:
+    """Build the link config for one sweep cell.
+
+    The full LDPCParams surface is reachable from the experiment layer —
+    N_L, I_LBRM/TBS_LBRM, CBGTI are first-class tunables in the reference
+    (NRLDPC.m:51-85) and pass straight through here; remaining ``kw`` are
+    ChainConfig knobs (backend, schedule, ...).  G rounds to a multiple of
+    N_L*Q_m as in plot_BLER_vs_SNR.m:94 generalized to the reference's
+    G-validation rule (NRLDPC.m:551-559).
+    """
     qm = Q_M[modulation]
-    G = round(A / rate / qm) * qm  # plot_BLER_vs_SNR.m:94
-    params = LDPCParams(BG=bg, A=A, G=G, Q_m=qm)
+    unit = qm * N_L
+    G = round(A / rate / unit) * unit  # plot_BLER_vs_SNR.m:94
+    params = LDPCParams(
+        BG=bg, A=A, G=G, Q_m=qm, N_L=N_L, I_LBRM=I_LBRM,
+        TBS_LBRM=TBS_LBRM, CBGTI=tuple(CBGTI),
+    )
     return ChainConfig(
         params=params,
         modulation=modulation,
@@ -140,6 +186,9 @@ def _simulate_point(
         pt.block_errors += c["block_errors"]
         pt.bit_errors += c["bit_errors"]
         pt.iterations += c["iterations"]
+    # stopped on the sample cap short of the error target: the BLER estimate
+    # is under-sampled and every consumer must be able to see that
+    pt.capped = pt.block_errors < target_block_errors
     return pt, found_start, key
 
 
@@ -227,7 +276,25 @@ def bler_vs_snr(
                         bler = pt.bler
                         if bler < 1:
                             fid.write(f"{esn0:f}\t{bler:e}\n")
+                            if pt.capped:
+                                # annotation line: keeps the two-column
+                                # reference format parseable while marking
+                                # the estimate as under-sampled; resume
+                                # re-simulates annotated points
+                                fid.write(
+                                    f"{CAPPED_PREFIX} {pt.block_errors}"
+                                    f"/{target_block_errors} errors in "
+                                    f"{pt.blocks} blocks\n"
+                                )
                             fid.flush()
+                        if pt.capped and verbose:
+                            print(
+                                f"WARNING: Es/N0={esn0:+.2f} dB hit "
+                                f"max_blocks_per_point={max_blocks_per_point}"
+                                f" with {pt.block_errors}/"
+                                f"{target_block_errors} target errors — "
+                                "BLER is an under-sampled estimate"
+                            )
                         if live_plot:
                             from ..utils.plotting import plot_bler_curves
 
@@ -344,6 +411,26 @@ def snr_vs_a(
                 )
                 curve.append((a_i, required))
                 fid.write(f"{a_i}\t{required:f}\n")
+                if pt.capped:
+                    # the final (below-target) point saturated the sample
+                    # cap: its BLER — and therefore the interpolated
+                    # required-Es/N0 — is an under-sampled estimate.  Floor
+                    # at the sample resolution keeps interp conservative
+                    # (biases required Es/N0 HIGH, never below the true
+                    # requirement); the annotation voids the point for
+                    # resume so a raised cap re-measures it.
+                    fid.write(
+                        f"{CAPPED_PREFIX} {pt.block_errors}"
+                        f"/{target_block_errors} errors in {pt.blocks} "
+                        f"blocks at the final point\n"
+                    )
+                    if verbose:
+                        print(
+                            f"WARNING: A={a_i} final point hit "
+                            f"max_blocks_per_point with {pt.block_errors}/"
+                            f"{target_block_errors} target errors — "
+                            "required Es/N0 is an under-sampled estimate"
+                        )
                 fid.flush()
                 if live_plot:
                     from ..utils.plotting import plot_snr_vs_a as _plot

@@ -26,6 +26,19 @@ if not os.environ.get("LDPC_TEST_TPU"):
 
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-bound (every jitted
+# config is a fresh XLA compile) and test configs are stable across runs,
+# so warm runs of the quick tier skip almost all compilation.  File-based,
+# safely shared by xdist workers; keyed on HLO + compiler version, so
+# semantics changes recompile exactly what they touch.
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 import pytest
 

@@ -89,12 +89,12 @@ def test_varying_g_between_harq_steps():
     — the reason the reference makes them tunable (NRLDPC.m:51-85).  The
     HARQ soft buffer is G-independent, so a short first transmission plus a
     longer, differently-punctured retransmission must combine and decode."""
-    A = 1000
-    stages = [(0, 1600), (2, 2400)]  # (rv_id, G): rv0 alone fails at 2 dB
+    A = 500
+    stages = [(0, 800), (2, 1200)]  # (rv_id, G): rv0 alone fails at 2 dB
     mod = NRModulator("QPSK")
     enc = NRLDPCEncoder(A=A, BG=1, G=stages[0][1], Q_m=mod.Q_m)
     dec = NRLDPCDecoder(A=A, BG=1, G=stages[0][1], Q_m=mod.Q_m, I_HARQ=1,
-                        iterations=25)
+                        iterations=12)
     chan = AWGNChannel(snr_db=2.0, seed=11)
     a = RNG.integers(0, 2, A).astype(np.int8)
     dec.reset()

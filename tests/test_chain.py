@@ -50,7 +50,10 @@ def _roundtrip(p, modulation, esn0, batch=4, iterations=20, state=None, key=0):
         (2, 50, 1 / 4, "BPSK"),
         pytest.param(1, 2000, 1 / 2, "16QAM", marks=pytest.mark.slow),
         pytest.param(1, 3000, 2 / 3, "64QAM", marks=pytest.mark.slow),
-        (2, 300, 1 / 3, "256QAM"),
+        # 256QAM roundtrip is slow-tier: the quick tier still covers 256QAM
+        # via the fused symbol path (test_fused_symbol_path_matches_
+        # composition) and the mod/demod oracle fuzz (test_modulation_oracle)
+        pytest.param(2, 300, 1 / 3, "256QAM", marks=pytest.mark.slow),
     ],
 )
 def test_roundtrip_high_snr(bg, A, rate, modulation):

@@ -358,9 +358,11 @@ def _assert_sp_core_equal(res_j, gbits, gok, git, gtot):
 
 @pytest.mark.parametrize(
     "bg,A,G,esn0",
-    [pytest.param(2, 100, 300, 2.0, marks=pytest.mark.slow),
+    # quick tier takes the smallest config (same code path, ~2x faster
+    # compile); the larger shapes run in the full tier
+    [(2, 100, 300, 2.0),
      pytest.param(2, 640, 1280, -1.0, marks=pytest.mark.slow),
-     (1, 1000, 3000, 0.5)],
+     pytest.param(1, 1000, 3000, 0.5, marks=pytest.mark.slow)],
 )
 def test_sum_product_core_vs_oracle(bg, A, G, esn0):
     """Flooding sum-product vs the independent scalar phi implementation."""

@@ -11,7 +11,13 @@ import os
 import numpy as np
 import pytest
 
-from ldpc_3gpp_tpu.parallel.sweep import bler_vs_snr, snr_vs_a
+from ldpc_3gpp_tpu.parallel.sweep import (
+    CAPPED_PREFIX,
+    _make_config,
+    _scan_resume_file,
+    bler_vs_snr,
+    snr_vs_a,
+)
 
 CFG = dict(
     A=[100],
@@ -57,6 +63,8 @@ def test_bler_vs_snr_waterfall_and_resume(tmp_path):
                       esn0_start=1.0, esn0_delta=1.0, results_dir=d, **CFG)
     pts = out[(2, 1 / 2, 100)]
     assert pts and pts[-1].bler <= 2e-1
+    # every point here reached its error target: none may read as capped
+    assert all(not p.capped for p in pts)
     files = os.listdir(d)
     assert len(files) == 1
     rows = np.loadtxt(os.path.join(d, files[0]), ndmin=2)
@@ -77,6 +85,69 @@ def test_bler_vs_snr_waterfall_and_resume(tmp_path):
     # the skipped point was not re-simulated (BLER=1 warmup points are not
     # recorded in the file, so those are legitimately re-run)
     assert all(p.esn0_db != kept[0, 0] for p in out2[(2, 1 / 2, 100)])
+
+
+def test_capped_point_is_marked_not_silent(tmp_path):
+    """A point that saturates max_blocks_per_point short of the error target
+    must be flagged on the SweepPoint, annotated in the results file (in a
+    way np.loadtxt still parses), and re-simulated on resume — never written
+    as if it had converged (the reference runs to target unconditionally,
+    plot_BLER_vs_SNR.m:104-171)."""
+    d = str(tmp_path)
+    kw = dict(CFG, iterations=4, batch_per_device=16)
+    out = bler_vs_snr(target_block_errors=10_000, target_bler=0.5,
+                      esn0_start=4.0, esn0_delta=1.0, results_dir=d,
+                      max_blocks_per_point=64, **kw)
+    pts = out[(2, 1 / 2, 100)]
+    assert pts[-1].capped and pts[-1].blocks <= 2 * 64
+    fname = os.path.join(d, os.listdir(d)[0])
+    text = open(fname).read()
+    assert CAPPED_PREFIX in text
+    # the annotation is a comment line: reference-format consumers still work
+    rows = np.loadtxt(fname, ndmin=2)
+    assert rows.shape[1] == 2
+    # resume treats the capped point as NOT done (re-simulates it)
+    done = _scan_resume_file(
+        fname, lambda p: (round(float(p[0]), 6), float(p[1]))
+    )
+    assert round(pts[-1].esn0_db, 6) not in done
+
+
+def test_resume_rejects_corrupt_interior_line(tmp_path):
+    """Only a torn FINAL line is crash debris; a malformed interior line
+    means a corrupt/foreign file and must raise instead of silently
+    resuming from partial data."""
+    f = tmp_path / "BLER_vs_SNR_x.txt"
+    f.write_text("1.0\t0.5\ngarbage line here\n2.0\t0.25\n")
+    with pytest.raises(ValueError, match="malformed interior"):
+        _scan_resume_file(str(f), lambda p: (float(p[0]), float(p[1])))
+    # torn FINAL line: tolerated
+    f.write_text("1.0\t0.5\n2.0\t0.2")  # complete; then a torn tail
+    f.write_text(f.read_text() + "\n3.0\t")
+    done = _scan_resume_file(str(f), lambda p: (float(p[0]), float(p[1])))
+    assert done == {1.0: 0.5, 2.0: 0.2}
+
+
+def test_sweep_reaches_full_parameter_engine(tmp_path):
+    """N_L / I_LBRM / TBS_LBRM / CBGTI thread from the experiment layer into
+    LDPCParams (NRLDPC.m:51-85 makes these first-class tunables)."""
+    cfg = _make_config(100, 1 / 2, 2, "QPSK", (0,), 4, "min-sum",
+                       N_L=2, I_LBRM=1, TBS_LBRM=150)
+    assert cfg.params.N_L == 2 and cfg.params.I_LBRM == 1
+    assert cfg.params.G % (2 * 2) == 0
+    assert cfg.params.N_cb < cfg.params.N  # LBRM actually limited the buffer
+    # CBGTI passthrough (multi-code-block config so C' stays > 0)
+    cfg2 = _make_config(5000, 1 / 3, 2, "QPSK", (0,), 4, "min-sum",
+                        CBGTI=(1,))
+    assert cfg2.params.C == 2 and cfg2.params.CBGTI == (1,)
+    assert cfg2.params.CBGTI_flags == (1, 0)
+    # and end-to-end through the Monte-Carlo path on the CPU mesh
+    out = bler_vs_snr(target_block_errors=2, target_bler=0.9,
+                      esn0_start=5.0, esn0_delta=1.0,
+                      results_dir=str(tmp_path), N_L=2, I_LBRM=1,
+                      TBS_LBRM=200,
+                      **dict(CFG, iterations=4, batch_per_device=16))
+    assert out[(2, 1 / 2, 100)]
 
 
 @pytest.mark.slow

@@ -13,7 +13,8 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+if __package__ in (None, ""):  # script run: tools/ is sys.path[0]
+    import _path  # noqa: F401,E402  (checkout shim; no-op when installed)
 
 import matplotlib
 

@@ -11,7 +11,8 @@ import sys
 import time
 from functools import partial
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+if __package__ in (None, ""):  # script run: tools/ is sys.path[0]
+    import _path  # noqa: F401,E402  (checkout shim; no-op when installed)
 
 import jax
 import jax.numpy as jnp

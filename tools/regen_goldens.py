@@ -21,12 +21,14 @@ Run sequentially in ONE process — never two TPU processes at once (the
 relay queues and all measurements slow 10-100x).
 """
 import argparse
+import glob
 import json
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+if __package__ in (None, ""):  # script run: tools/ is sys.path[0]
+    import _path  # noqa: F401,E402  (checkout shim; no-op when installed)
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "..", "golden")
 
@@ -389,14 +391,45 @@ STAGES = {
 }
 
 
+def restamp():
+    """Refresh the ``semantics`` stamp of every stamped golden WITHOUT
+    re-measuring.
+
+    Only legitimate after a VERIFIED-neutral change: the on-chip
+    statistical gates (LDPC_TEST_TPU=1 pytest -m tpu, e.g.
+    test_bulk_golden_not_stale) must pass against the existing artifacts
+    first, proving the source change did not move the measured curves.
+    """
+    current = semantics_fingerprint()
+    for path in sorted(glob.glob(os.path.join(GOLDEN, "*.json"))):
+        with open(path) as f:
+            data = json.load(f)
+        if isinstance(data, dict) and "semantics" in data:
+            if data["semantics"] != current:
+                data["semantics"] = current
+                with open(path, "w") as f:
+                    json.dump(data, f, indent=1)
+                    f.write("\n")
+                print(f"restamped {os.path.basename(path)} -> {current}")
+            else:
+                print(f"{os.path.basename(path)} already current")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("stages", nargs="*", default=list(STAGES),
+    ap.add_argument("stages", nargs="*", default=[],
                     choices=list(STAGES) + [[]])
     ap.add_argument("--force-resume", action="store_true",
                     help="reuse checkpointed surface curves even if the "
                          "decoder-semantics fingerprint changed")
+    ap.add_argument("--restamp", action="store_true",
+                    help="refresh stamps on existing artifacts without "
+                         "re-measuring (ONLY after the on-chip gates "
+                         "verified the change was semantics-neutral)")
     args = ap.parse_args()
+    if args.restamp:
+        restamp()
+        return
     stages = args.stages or list(STAGES)
     global _FORCE_RESUME
     _FORCE_RESUME = args.force_resume
