@@ -203,9 +203,11 @@ def _headline(args):
                     "block_errors": errs,
                     "blocks": blocks,
                     "backend": jax.default_backend(),
-                    # operating-point sensitivity: see golden/bench_sweep.json
-                    # (bench.py --sweep) for Gbit/s vs Es/N0 / vs iteration
-                    # budget / non-flagship configs
+                    # the headline is ONE operating point; its sensitivity
+                    # (Gbit/s vs Es/N0 across the waterfall, vs iteration
+                    # budget, and two non-flagship configs) is measured by
+                    # `bench.py --sweep` and pinned in the artifact below
+                    "et_economics": "golden/bench_sweep.json",
                 },
             }
         )

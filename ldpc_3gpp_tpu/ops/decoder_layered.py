@@ -82,13 +82,26 @@ def decode(
     beta: float = 0.15,
     early_termination: bool = True,
     layer_order="reversed",
+    alpha_schedule=None,
 ) -> DecodeResult:
     """Layered BP decode of (..., num_cols*Z) LLRs (XLA, any backend).
 
     ``layer_order`` ('reversed' default / 'natural' / explicit tuple) is the
     row processing order, shared with the pallas kernel — see
     ops/decoder_pallas.py::_resolve_layer_order for the measured rationale.
+
+    ``alpha_schedule=(alpha0, n0)`` (min-sum only): normalization alpha0
+    for the first n0 update sweeps, the standard ``alpha`` after — the
+    XLA oracle for the kernel's identically-defined knob.
     """
+    if alpha_schedule is not None and algorithm != "min-sum":
+        raise ValueError("alpha_schedule applies to min-sum only")
+
+    def _alpha_at(it):
+        if alpha_schedule is None:
+            return alpha
+        a0, n0 = alpha_schedule
+        return jnp.where(it < n0, jnp.float32(a0), jnp.float32(alpha))
     from .decoder_pallas import _resolve_layer_order
 
     row_seq = _resolve_layer_order(params, layer_order)
@@ -117,7 +130,7 @@ def decode(
                 par = bit if par is None else par ^ bit
             sweep_ok = sweep_ok & jnp.all(~par, axis=-1)
             v = [te - c2v_arr[e] for te, (e, _, _) in zip(t, edges)]
-            nm = _check_messages(v, algorithm, alpha, beta)
+            nm = _check_messages(v, algorithm, _alpha_at(it), beta)
             for i, (ve, (e, c, s)) in enumerate(zip(v, edges)):
                 c2v_arr = c2v_arr.at[e].set(jnp.where(keep, c2v_arr[e], nm[i]))
                 tn = jnp.roll(jnp.where(keep, t[i], ve + nm[i]), s, axis=-1)
@@ -151,7 +164,7 @@ def decode(
                 edges = by_row[r]
                 t = [jnp.roll(totals[c], -s, axis=-1) for (_, c, s) in edges]
                 v = [te - c2v_arr[e] for te, (e, _, _) in zip(t, edges)]
-                nm = _check_messages(v, algorithm, alpha, beta)
+                nm = _check_messages(v, algorithm, _alpha_at(it), beta)
                 for i, (ve, (e, c, s)) in enumerate(zip(v, edges)):
                     c2v_arr = c2v_arr.at[e].set(nm[i])
                     totals = totals.at[c].set(jnp.roll(ve + nm[i], s, axis=-1))

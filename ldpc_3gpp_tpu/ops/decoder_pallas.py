@@ -265,7 +265,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                  schedule: str, alpha: float, beta: float, Bt: int,
                  dtype=jnp.float32, P: int = 1, early_termination: bool = True,
                  layer_order=(), d_input: bool = False,
-                 sys_output: bool = False):
+                 sys_output: bool = False, alpha_schedule=None):
     et = early_termination
     by_row, _ = _row_plan(params)
     nc, nr, Z = params.num_cols, params.num_rows, params.Z_c
@@ -425,6 +425,19 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
             # would have consumed never happens.  Bit-identical (x - 0 == x
             # for every finite non-(-0.0) x, which totals are).
             it, done, used = carry
+            # Iteration-dependent normalization (min-sum only): alpha0 for
+            # the first n0 update sweeps, the standard alpha after.  The
+            # hoisted first sweep runs at it == 0, so its choice is static.
+            if alpha_schedule and algorithm == "min-sum":
+                a0, n0 = alpha_schedule
+                if first:
+                    alpha_t = a0 if n0 > 0 else alpha
+                else:
+                    alpha_t = jnp.where(
+                        it < n0, jnp.float32(a0), jnp.float32(alpha)
+                    )
+            else:
+                alpha_t = alpha
             bad_bits = jnp.zeros((Bt, W), jnp.int32)
             if flooding:
                 # Flooding freezes finished codewords (and all updates on
@@ -460,7 +473,7 @@ def _make_kernel(params: LDPCParams, iterations: int, algorithm: str,
                         for te, (e, _, _) in zip(t, edges)
                     ]
                 )
-                nm = _check_messages(v, algorithm, alpha, beta, Bt, W)
+                nm = _check_messages(v, algorithm, alpha_t, beta, Bt, W)
                 for i, (ve, (e, c, s)) in enumerate(zip(v, edges)):
                     if flooding:
                         if et:
@@ -603,7 +616,8 @@ def _build(params: LDPCParams, iterations: int, algorithm: str, schedule: str,
            alpha: float, beta: float, Bt: int, interpret: bool = False,
            dtype_name: str = "float32", P: int = 1,
            early_termination: bool = True, layer_order=(),
-           d_input: bool = False, sys_output: bool = False):
+           d_input: bool = False, sys_output: bool = False,
+           alpha_schedule=None):
     nc, Z = params.num_cols, params.Z_c
     nci = nc - 2 if d_input else nc  # input columns (see channel_format)
     out_cols = params.num_sys_cols if sys_output else nc
@@ -612,7 +626,7 @@ def _build(params: LDPCParams, iterations: int, algorithm: str, schedule: str,
     dtype = jnp.dtype(dtype_name)
     kernel = _make_kernel(params, iterations, algorithm, schedule, alpha, beta,
                           Bt, dtype, P, early_termination, layer_order, d_input,
-                          sys_output)
+                          sys_output, alpha_schedule)
     flooding = schedule == "flooding"
     outw = W if P > 1 else 1  # per-lane flags for packed tiles
 
@@ -676,6 +690,7 @@ def decode(
     layer_order="reversed",
     channel_format: str = "cw",
     output_format: str = "cw",
+    alpha_schedule=None,
 ) -> DecodeResult:
     """BP decode of (..., num_cols*Z) LLRs fully in VMEM.
 
@@ -707,6 +722,12 @@ def decode(
     Min-sum BLER impact is negligible (bf16 carries 8 mantissa bits;
     classic fixed-point LDPC decoders run at 6); sum-product stays
     f32-only so its trajectory remains bit-exact vs the XLA reference.
+
+    alpha_schedule=(alpha0, n0) (min-sum only): check-node normalization
+    alpha0 for the first n0 update sweeps, the standard ``alpha`` after —
+    an NMS convergence knob (smaller early alpha damps the optimistic
+    first messages).  None (default) keeps the constant-alpha trajectory
+    bit-for-bit.  Oracle: ops/decoder_layered.py's identical knob.
 
     layer_order: layered-schedule row processing order — 'reversed'
     (default; measured 8-17% fewer sweeps than natural at the BG1 bench
@@ -786,10 +807,15 @@ def decode(
 
     order = (_resolve_layer_order(params, layer_order)
              if schedule == "layered" else ())
+    if alpha_schedule is not None:
+        if algorithm != "min-sum":
+            raise ValueError("alpha_schedule applies to min-sum only")
+        alpha_schedule = (float(alpha_schedule[0]), int(alpha_schedule[1]))
     call = _build(params, iterations, algorithm, schedule, alpha, beta,
                   batch_tile, interpret, dtype_name=jnp.dtype(dtype).name, P=P,
                   early_termination=early_termination, layer_order=order,
-                  d_input=d_input, sys_output=output_format == "sys")
+                  d_input=d_input, sys_output=output_format == "sys",
+                  alpha_schedule=alpha_schedule)
     bits, ok, iters = call(flat)
 
     if P > 1:

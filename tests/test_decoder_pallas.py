@@ -380,3 +380,43 @@ def test_output_format_sys_matches_cw_prefix(schedule):
     np.testing.assert_array_equal(
         np.asarray(rs.iterations), np.asarray(rc.iterations)
     )
+
+
+@pytest.mark.slow
+def test_alpha_schedule_matches_xla_layered_and_default_is_baseline():
+    """alpha_schedule=(alpha0, n0) (iteration-dependent NMS normalization):
+    the kernel must reproduce the XLA layered oracle with the identical
+    schedule bit-for-bit, and (alpha0, 0) / None must equal the constant-
+    alpha baseline exactly (the knob defaults to off and must not perturb
+    existing goldens)."""
+    from ldpc_3gpp_tpu.ops.decoder_layered import decode as decode_layered
+
+    p = LDPCParams(BG=2, A=400, G=1200, Q_m=2)  # Z=52
+    rng = np.random.default_rng(5)
+    llr = jnp.asarray(
+        rng.normal(scale=2.0, size=(8, p.num_cols * p.Z_c)).astype(np.float32)
+    )
+    sched = (0.65, 2)
+    rk = jax.jit(
+        partial(decode_pallas, p, iterations=6, algorithm="min-sum",
+                schedule="layered", interpret=True, alpha_schedule=sched)
+    )(llr)
+    rx = jax.jit(
+        partial(decode_layered, p, iterations=6, algorithm="min-sum",
+                alpha_schedule=sched)
+    )(llr)
+    np.testing.assert_array_equal(np.asarray(rk.bits), np.asarray(rx.bits))
+    np.testing.assert_array_equal(
+        np.asarray(rk.iterations), np.asarray(rx.iterations)
+    )
+    r0 = jax.jit(
+        partial(decode_pallas, p, iterations=6, algorithm="min-sum",
+                schedule="layered", interpret=True)
+    )(llr)
+    r1 = jax.jit(
+        partial(decode_pallas, p, iterations=6, algorithm="min-sum",
+                schedule="layered", interpret=True, alpha_schedule=(0.5, 0))
+    )(llr)
+    np.testing.assert_array_equal(np.asarray(r0.bits), np.asarray(r1.bits))
+    # the schedule must actually change the trajectory when engaged
+    assert not np.array_equal(np.asarray(r0.bits), np.asarray(rk.bits))

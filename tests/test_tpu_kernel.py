@@ -228,3 +228,96 @@ def test_bulk_golden_not_stale():
         f"{blocks} blocks vs golden {p_hat:.3e} (|diff| > 5 sigma = "
         f"{5*sigma:.2e}) — re-measure with tools/regen_goldens.py bulk"
     )
+
+
+def test_bulk_sp_golden_not_stale():
+    """SP-flooding on-chip statistical gate (mirrors the min-sum bulk gate).
+
+    SP bit-exactness vs the C++ oracle is an XLA:CPU contract
+    (VALIDATION.md section 1); on TPU the transcendental rounding differs,
+    so the SP path needs its own on-chip drift tripwire: ~0.5M blocks of
+    the golden/bulk_sp_montecarlo.json config (BG2 A=2048 Z=208 QPSK,
+    8-iteration flooding sum-product — the reference comm.LDPCDecoder
+    semantics) must reproduce the artifact's BLER within 5 combined sigma.
+    Regenerate with `python tools/regen_goldens.py bulksp` after any
+    SP-semantics change."""
+    import json
+    import math
+    import os
+
+    from ldpc_3gpp_tpu.models.chain import ChainConfig
+    from ldpc_3gpp_tpu.ops.modulation import Q_M
+    from ldpc_3gpp_tpu.parallel.montecarlo import MonteCarlo
+    from ldpc_3gpp_tpu.utils.rng import fast_key
+
+    path = os.path.join(os.path.dirname(__file__), "..", "golden",
+                        "bulk_sp_montecarlo.json")
+    golden = json.load(open(path))
+    gcfg = golden["config"]
+    p = LDPCParams(BG=gcfg["BG"], A=gcfg["A"], G=gcfg["G"],
+                   Q_m=Q_M[gcfg["modulation"]])
+    cfg = ChainConfig(
+        params=p, modulation=gcfg["modulation"],
+        iterations=gcfg["iterations"], algorithm=gcfg["algorithm"],
+        backend="auto", schedule=gcfg["schedule"],
+    )
+    mc = MonteCarlo(cfg, batch_per_device=256, steps_per_call=16)
+    blocks = errors = 0
+    key = fast_key(778)
+    while blocks < 500_000:
+        key, sub = jax.random.split(key)
+        c = mc.run_pipelined(sub, gcfg["esn0_db"], 4)
+        blocks += c["blocks"]
+        errors += c["block_errors"]
+    bler = errors / blocks
+    p_hat = golden["bler"]
+    sigma = math.sqrt(p_hat / blocks + p_hat / golden["blocks"])
+    assert abs(bler - p_hat) < 5 * sigma, (
+        f"SP bulk golden stale or SP semantics drifted on-chip: measured "
+        f"{bler:.3e} over {blocks} blocks vs golden {p_hat:.3e} "
+        f"(|diff| > 5 sigma = {5*sigma:.2e}) — re-measure with "
+        "tools/regen_goldens.py bulksp"
+    )
+
+
+def test_bench_sweep_golden():
+    """Throughput-economics gate: three representative rows of
+    golden/bench_sweep.json re-measured on-chip.
+
+    Throughput carries tunnel-queueing variance, so the gate is one-sided
+    and generous (fresh >= 70% of golden); a kernel regression off the
+    flagship path (the BG2 SP-flooding row, the packed small-Z row) now
+    fails a gate instead of hiding behind the flagship headline.  The
+    iteration mix is a decode-semantics statistic, gated two-sided at
+    +-15%.  Regenerate with `python tools/regen_goldens.py bench_sweep`."""
+    import json
+    import os
+
+    from ldpc_3gpp_tpu.bench import measure_throughput, sweep_rows
+
+    path = os.path.join(os.path.dirname(__file__), "..", "golden",
+                        "bench_sweep.json")
+    golden = {r["name"]: r for r in json.load(open(path))["rows"]}
+    check = ("flagship_esn0_+1.0", "bg2_z208_sumproduct_flooding",
+             "bg2_z72_packed_layered")
+    rows = {r["name"]: r for r in sweep_rows() if r["name"] in check}
+    failures = []
+    for name in check:
+        row = rows[name]
+        tb_per_sec, mean_it, _, _ = measure_throughput(
+            row["cfg"], row["esn0"], batch=row["batch"],
+            steps=row["steps"], trials=2, reps=2,
+        )
+        g = golden[name]
+        if tb_per_sec < 0.70 * g["tb_per_sec"]:
+            failures.append(
+                f"{name}: throughput {tb_per_sec:,.0f} TB/s < 70% of "
+                f"golden {g['tb_per_sec']:,.0f}"
+            )
+        ref_it = g["mean_iterations_per_tb"]
+        if abs(mean_it - ref_it) > 0.15 * ref_it:
+            failures.append(
+                f"{name}: mean iterations {mean_it:.2f} vs golden "
+                f"{ref_it:.2f} (>15%)"
+            )
+    assert not failures, failures

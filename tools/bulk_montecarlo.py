@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--batch-per-device", type=int, default=512)
     ap.add_argument("--steps-per-call", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--algorithm", default="min-sum",
+                    choices=["min-sum", "offset-min-sum", "sum-product"])
+    ap.add_argument("--schedule", default="layered",
+                    choices=["layered", "flooding"])
     ap.add_argument("--out", default="golden/bulk_montecarlo.json")
     args = ap.parse_args()
 
@@ -55,7 +59,7 @@ def main():
     params = LDPCParams(BG=args.bg, A=args.A, G=G, Q_m=qm)
     cfg = ChainConfig(
         params=params, modulation=args.modulation, iterations=args.iterations,
-        algorithm="min-sum", backend="auto", schedule="layered",
+        algorithm=args.algorithm, backend="auto", schedule=args.schedule,
     )
     mc = MonteCarlo(
         cfg, batch_per_device=args.batch_per_device,
@@ -94,7 +98,7 @@ def main():
         "config": {
             "BG": args.bg, "A": args.A, "G": G, "modulation": args.modulation,
             "esn0_db": args.esn0, "iterations": args.iterations,
-            "algorithm": "min-sum", "schedule": "layered",
+            "algorithm": args.algorithm, "schedule": args.schedule,
             "devices": jax.device_count(),
         },
         "blocks": totals["blocks"],

@@ -16,6 +16,8 @@ Stages (run all by default, or name a subset):
   surface   SNR_vs_A_surface.json (A x rate x {1e-1,1e-2} x {SP,MS})
   snrvsa    SNR_vs_A_BG1_R13_QPSK_50it_sumproduct.json + txt
   bulk      bulk_montecarlo.json (20M 256QAM blocks @ 15.75 dB)
+  bulksp    bulk_sp_montecarlo.json (2M QPSK blocks, SP flooding gate cfg)
+  bench_sweep  bench_sweep.json (ET throughput-economics surface)
 
 Run sequentially in ONE process — never two TPU processes at once (the
 relay queues and all measurements slow 10-100x).
@@ -379,6 +381,54 @@ def bulk():
     )
 
 
+def bulksp():
+    """Measure golden/bulk_sp_montecarlo.json: the SUM-PRODUCT-flooding
+    on-chip statistical gate config (BG2 A=2048 Z=208 QPSK, 8 iterations —
+    the reference comm.LDPCDecoder semantics, NRLDPCDecoder.m:120).  Gives
+    the SP path its own on-chip drift tripwire
+    (tests/test_tpu_kernel.py::test_bulk_sp_golden_not_stale); the min-sum
+    bulk gate alone could not see SP-only regressions."""
+    import subprocess
+
+    subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "bulk_montecarlo.py"),
+         "--blocks", "2000000", "--A", "2048", "--rate", str(1 / 3),
+         "--modulation", "QPSK", "--esn0", "0.4", "--iterations", "8",
+         "--algorithm", "sum-product", "--schedule", "flooding",
+         "--batch-per-device", "256", "--steps-per-call", "32",
+         "--out", os.path.join(GOLDEN, "bulk_sp_montecarlo.json")],
+        check=True,
+    )
+
+
+def bench_sweep():
+    """Measure golden/bench_sweep.json: the early-termination throughput
+    economics surface (decoded Gbit/s + mean iterations vs Es/N0 across the
+    waterfall, vs iteration budget, plus the BG2 Z=208 SP-flooding and
+    packed small-Z rows) — the operating-point sensitivity the single
+    headline number over-summarizes.  Gated on-chip by
+    tests/test_tpu_kernel.py::test_bench_sweep_golden."""
+    from ldpc_3gpp_tpu.bench import run_sweep
+
+    rows = run_sweep()
+    _dump("bench_sweep.json", {
+        "description": (
+            "Early-termination throughput economics (bench.py --sweep), "
+            "measured on one TPU v5e over the axon tunnel: decoded info "
+            "Mbit/s, TB/s, mean BP iterations/TB and observed BLER per "
+            "row.  Rows: flagship (BG1 A=8424 Z=384 R=1/3 QPSK layered "
+            "NMS 12 it) vs Es/N0 -1..+4 dB; flagship vs iteration budget "
+            "{4,8,12,25} at +1 dB; BG2 A=2048 Z=208 SP-flooding 8 it "
+            "(reference comm.LDPCDecoder semantics) at +2 dB; packed "
+            "small-Z BG2 A=600 Z=72 layered NMS at +2 dB.  Throughputs "
+            "carry tunnel-queueing variance; the gate test allows -30%."
+        ),
+        "semantics": semantics_fingerprint(),
+        "rows": rows,
+    })
+
+
 STAGES = {
     "headline": None,  # handled specially (feeds spvsms)
     "spvsms": spvsms,
@@ -388,6 +438,8 @@ STAGES = {
     "surface": surface,
     "snrvsa": snrvsa,
     "bulk": bulk,
+    "bulksp": bulksp,
+    "bench_sweep": bench_sweep,
 }
 
 
