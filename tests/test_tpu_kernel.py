@@ -321,3 +321,52 @@ def test_bench_sweep_golden():
                 f"{ref_it:.2f} (>15%)"
             )
     assert not failures, failures
+
+
+def test_bulk_lbrm_golden_not_stale():
+    """Non-default parameter-engine gate: the N_L=2 + LBRM-limited config
+    (golden/bulk_lbrm_montecarlo.json: BG1 A=4000 Z=192, TBS_LBRM=6000 ->
+    N_cb=9000 < N, circular buffer wrapped by G=12000) re-measured through
+    the sharded Monte-Carlo engine must reproduce the artifact's BLER
+    within 5 combined sigma — the experiment-layer N_L/LBRM paths stay
+    exercised end-to-end on-chip, not only at the conformance level.
+    Regenerate with `python tools/regen_goldens.py bulklbrm`."""
+    import json
+    import math
+    import os
+
+    from ldpc_3gpp_tpu.models.chain import ChainConfig
+    from ldpc_3gpp_tpu.ops.modulation import Q_M
+    from ldpc_3gpp_tpu.parallel.montecarlo import MonteCarlo
+    from ldpc_3gpp_tpu.utils.rng import fast_key
+
+    path = os.path.join(os.path.dirname(__file__), "..", "golden",
+                        "bulk_lbrm_montecarlo.json")
+    golden = json.load(open(path))
+    gcfg = golden["config"]
+    p = LDPCParams(BG=gcfg["BG"], A=gcfg["A"], G=gcfg["G"],
+                   Q_m=Q_M[gcfg["modulation"]], N_L=gcfg["N_L"],
+                   I_LBRM=gcfg["I_LBRM"], TBS_LBRM=gcfg["TBS_LBRM"],
+                   CBGTI=tuple(gcfg["CBGTI"]))
+    assert p.N_cb == gcfg["N_cb"] < p.N  # the buffer limit is real
+    cfg = ChainConfig(
+        params=p, modulation=gcfg["modulation"],
+        iterations=gcfg["iterations"], algorithm=gcfg["algorithm"],
+        backend="auto", schedule=gcfg["schedule"],
+    )
+    mc = MonteCarlo(cfg, batch_per_device=256, steps_per_call=16)
+    blocks = errors = 0
+    key = fast_key(779)
+    while blocks < 500_000:
+        key, sub = jax.random.split(key)
+        c = mc.run_pipelined(sub, gcfg["esn0_db"], 4)
+        blocks += c["blocks"]
+        errors += c["block_errors"]
+    bler = errors / blocks
+    p_hat = golden["bler"]
+    sigma = math.sqrt(p_hat / blocks + p_hat / golden["blocks"])
+    assert abs(bler - p_hat) < 5 * sigma, (
+        f"LBRM bulk golden stale or semantics drifted: measured {bler:.3e} "
+        f"over {blocks} blocks vs golden {p_hat:.3e} (|diff| > 5 sigma = "
+        f"{5*sigma:.2e}) — re-measure with tools/regen_goldens.py bulklbrm"
+    )

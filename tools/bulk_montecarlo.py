@@ -41,6 +41,11 @@ def main():
                     choices=["min-sum", "offset-min-sum", "sum-product"])
     ap.add_argument("--schedule", default="layered",
                     choices=["layered", "flooding"])
+    # full parameter engine (NRLDPC.m:51-85 tunables)
+    ap.add_argument("--N-L", type=int, default=1, dest="N_L")
+    ap.add_argument("--I-LBRM", type=int, default=0, dest="I_LBRM")
+    ap.add_argument("--TBS-LBRM", type=int, default=None, dest="TBS_LBRM")
+    ap.add_argument("--CBGTI", type=int, nargs="*", default=(), dest="CBGTI")
     ap.add_argument("--out", default="golden/bulk_montecarlo.json")
     args = ap.parse_args()
 
@@ -55,8 +60,11 @@ def main():
     from ldpc_3gpp_tpu.spec.params import LDPCParams
 
     qm = Q_M[args.modulation]
-    G = round(args.A / args.rate / qm) * qm
-    params = LDPCParams(BG=args.bg, A=args.A, G=G, Q_m=qm)
+    unit = qm * args.N_L
+    G = round(args.A / args.rate / unit) * unit
+    params = LDPCParams(BG=args.bg, A=args.A, G=G, Q_m=qm, N_L=args.N_L,
+                        I_LBRM=args.I_LBRM, TBS_LBRM=args.TBS_LBRM,
+                        CBGTI=tuple(args.CBGTI))
     cfg = ChainConfig(
         params=params, modulation=args.modulation, iterations=args.iterations,
         algorithm=args.algorithm, backend="auto", schedule=args.schedule,
@@ -99,6 +107,9 @@ def main():
             "BG": args.bg, "A": args.A, "G": G, "modulation": args.modulation,
             "esn0_db": args.esn0, "iterations": args.iterations,
             "algorithm": args.algorithm, "schedule": args.schedule,
+            "N_L": args.N_L, "I_LBRM": args.I_LBRM,
+            "TBS_LBRM": args.TBS_LBRM, "CBGTI": list(args.CBGTI),
+            "N_cb": params.N_cb, "N": params.N,
             "devices": jax.device_count(),
         },
         "blocks": totals["blocks"],

@@ -17,6 +17,7 @@ Stages (run all by default, or name a subset):
   snrvsa    SNR_vs_A_BG1_R13_QPSK_50it_sumproduct.json + txt
   bulk      bulk_montecarlo.json (20M 256QAM blocks @ 15.75 dB)
   bulksp    bulk_sp_montecarlo.json (2M QPSK blocks, SP flooding gate cfg)
+  bulklbrm  bulk_lbrm_montecarlo.json (2M blocks, N_L=2 + LBRM-limited cfg)
   bench_sweep  bench_sweep.json (ET throughput-economics surface)
 
 Run sequentially in ONE process — never two TPU processes at once (the
@@ -402,6 +403,31 @@ def bulksp():
     )
 
 
+def bulklbrm():
+    """Measure golden/bulk_lbrm_montecarlo.json: Monte-Carlo golden at a
+    NON-DEFAULT parameter-engine config — N_L=2 and LBRM on with a
+    genuinely limiting buffer (BG1 A=4000 Z=192, TBS_LBRM=6000 ->
+    N_cb=9000 < N=12672, G=12000 wraps the circular buffer) — so the
+    sweep-reachable N_L/LBRM paths are exercised end-to-end through the
+    sharded Monte-Carlo engine on-chip, not only at the conformance level
+    (VERDICT r3 item 6).  Gated by
+    tests/test_tpu_kernel.py::test_bulk_lbrm_golden_not_stale."""
+    import subprocess
+
+    subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "bulk_montecarlo.py"),
+         "--blocks", "2000000", "--A", "4000", "--rate", str(1 / 3),
+         "--bg", "1", "--modulation", "QPSK", "--esn0", "-0.3",
+         "--iterations", "12", "--algorithm", "min-sum",
+         "--schedule", "layered", "--N-L", "2", "--I-LBRM", "1",
+         "--TBS-LBRM", "6000",
+         "--batch-per-device", "256", "--steps-per-call", "32",
+         "--out", os.path.join(GOLDEN, "bulk_lbrm_montecarlo.json")],
+        check=True,
+    )
+
+
 def bench_sweep():
     """Measure golden/bench_sweep.json: the early-termination throughput
     economics surface (decoded Gbit/s + mean iterations vs Es/N0 across the
@@ -444,6 +470,7 @@ STAGES = {
     "snrvsa": snrvsa,
     "bulk": bulk,
     "bulksp": bulksp,
+    "bulklbrm": bulklbrm,
     "bench_sweep": bench_sweep,
 }
 
