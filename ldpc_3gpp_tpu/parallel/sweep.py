@@ -143,6 +143,7 @@ def _simulate_point(
     max_blocks: int,
     max_window: int = 8,
     prior_bler: float = 0.0,
+    progress: bool = False,
 ) -> Tuple[SweepPoint, bool, jax.Array]:
     """Accumulate batches at one SNR until enough block errors are seen.
 
@@ -154,6 +155,11 @@ def _simulate_point(
     in windows sized from the observed error rate (one host fetch per
     window — the fetch round trip would otherwise idle a remote TPU ~50%
     of the time at low BLER).
+
+    ``progress=True`` prints an interim line after every host fetch — the
+    batched equivalent of the reference's per-block figure refresh
+    (plot_BLER_vs_SNR.m:157-160): a low-BLER point can run for minutes,
+    and without this the console is silent until it completes.
     """
     pt = SweepPoint(esn0, 0, 0, 0, 0)
     while pt.block_errors < target_block_errors and pt.blocks < max_blocks:
@@ -186,6 +192,13 @@ def _simulate_point(
         pt.block_errors += c["block_errors"]
         pt.bit_errors += c["bit_errors"]
         pt.iterations += c["iterations"]
+        if progress and pt.block_errors < target_block_errors:
+            print(
+                f"  ... Es/N0={esn0:+.2f} dB  {pt.block_errors}"
+                f"/{target_block_errors} errors in {pt.blocks} blocks "
+                f"(interim BLER {pt.bler:.3e})",
+                flush=True,
+            )
     # stopped on the sample cap short of the error target: the BLER estimate
     # is under-sampled and every consumer must be able to see that
     pt.capped = pt.block_errors < target_block_errors
@@ -271,6 +284,7 @@ def bler_vs_snr(
                             mc, key, esn0, target_block_errors,
                             found_start, max_blocks_per_point,
                             prior_bler=bler if bler < 1 else 0.0,
+                            progress=verbose,
                         )
                         points.append(pt)
                         bler = pt.bler
@@ -394,6 +408,7 @@ def snr_vs_a(
                         mc, key, esn0, target_block_errors,
                         found_start, max_blocks_per_point,
                         prior_bler=bler if bler < 1 else 0.0,
+                        progress=verbose,
                     )
                     prev_bler, bler = bler, pt.bler
                 # log-domain interpolation to the target (plot_SNR_vs_A.m:175).
