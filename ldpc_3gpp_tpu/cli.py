@@ -336,3 +336,24 @@ def bench_main(argv=None):
     from ldpc_3gpp_tpu.bench import main as _main
 
     _main(argv)
+
+
+def plot_results_main(argv=None):
+    """Overlay reference-format results files on one PNG.
+
+    Accepts any mix of ``BLER_vs_SNR_*.txt`` or ``SNR_vs_A_*.txt`` files
+    (one kind per figure) — the tab-separated layout this framework shares
+    with the MATLAB reference, so curves from either implementation (or
+    from several seeded instances, the reference's manual-aggregation
+    workflow, plot_BLER_vs_SNR.m:23-27) can be compared directly.
+    """
+    ap = argparse.ArgumentParser(description=plot_results_main.__doc__)
+    ap.add_argument("files", nargs="+", help="results/*.txt files")
+    ap.add_argument("--out", default="results/overlay.png")
+    ap.add_argument("--title", default="3GPP New Radio LDPC code, AWGN")
+    args = ap.parse_args(argv)
+
+    from ldpc_3gpp_tpu.utils.plotting import plot_results_files
+
+    path = plot_results_files(args.files, args.out, args.title)
+    print(f"plot: {path}")

@@ -87,3 +87,76 @@ def plot_base_graph(bg: int, i_ls: int = 0, out_path: str = "results/base_graph.
     fig.savefig(out_path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return out_path
+
+
+def plot_results_files(
+    files: List[str],
+    out_path: str = "results/overlay.png",
+    title: str = "3GPP New Radio LDPC code, AWGN",
+) -> str:
+    """Overlay reference-format results files on one figure.
+
+    Accepts any mix of ``BLER_vs_SNR_*.txt`` (EsN0<TAB>BLER lines,
+    semilog-y) or ``SNR_vs_A_*.txt`` (A<TAB>EsN0 lines, linear) — the
+    layout this framework shares with the MATLAB reference
+    (plot_BLER_vs_SNR.m:79-83,165 / plot_SNR_vs_A.m:79-83,186), so curves
+    measured by either implementation (or by several seeded instances, the
+    reference's manual-aggregation workflow) can be compared on one plot.
+    ``#``-prefixed annotation lines (e.g. capped-point markers) are
+    skipped.  The file kind is inferred from the basename; mixing kinds on
+    one figure is rejected.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    kinds = set()
+    parsed = []
+    for f in files:
+        base = os.path.basename(f)
+        if base.startswith("BLER_vs_SNR"):
+            kind = "bler"
+        elif base.startswith("SNR_vs_A"):
+            kind = "snr_vs_a"
+        else:
+            raise ValueError(
+                f"{f}: cannot infer file kind (expect a BLER_vs_SNR_* or "
+                "SNR_vs_A_* basename)"
+            )
+        kinds.add(kind)
+        xs, ys = [], []
+        with open(f) as fid:
+            for line in fid:
+                if line.startswith("#"):
+                    continue
+                parts = line.split()
+                if len(parts) != 2:
+                    continue
+                xs.append(float(parts[0]))
+                ys.append(float(parts[1]))
+        parsed.append((base, xs, ys))
+    if len(kinds) != 1:
+        raise ValueError(f"mixed file kinds on one figure: {sorted(kinds)}")
+    kind = kinds.pop()
+
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for base, xs, ys in parsed:
+        label = base[: -len(".txt")] if base.endswith(".txt") else base
+        if kind == "bler":
+            ax.semilogy(xs, ys, marker="o", label=label)
+        else:
+            ax.plot(xs, ys, marker="o", label=label)
+    if kind == "bler":
+        ax.set_xlabel("$E_s/N_0$ [dB]")
+        ax.set_ylabel("BLER")
+    else:
+        ax.set_xlabel("A (information bits)")
+        ax.set_ylabel("required $E_s/N_0$ [dB]")
+    ax.set_title(title)
+    ax.grid(True, which="both", alpha=0.4)
+    ax.legend(loc="best", fontsize=7)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_path

@@ -176,3 +176,28 @@ def test_snr_vs_a_interpolation_and_resume(tmp_path):
     assert rows2.shape == (2, 2)
     np.testing.assert_allclose(rows2[0], rows[0])
     assert out2[1 / 2][0] == (100, rows[0, 1])
+
+
+def test_plot_results_files_overlay(tmp_path):
+    """The reference-format overlay plotter accepts files from any source
+    (ours or MATLAB's share the layout), skips '#' annotations, and
+    rejects mixed kinds on one figure."""
+    from ldpc_3gpp_tpu.utils.plotting import plot_results_files
+
+    b1 = tmp_path / "BLER_vs_SNR_100_0.5_2_QPSK_4_3_1_0.txt"
+    b1.write_text("1.0\t5e-1\n2.0\t1e-1\n# capped 1/3 errors in 10 blocks\n"
+                  "3.0\t1e-2\n")
+    b2 = tmp_path / "BLER_vs_SNR_matlab_seed1.txt"
+    b2.write_text("1.0\t4.5e-1\n2.0\t1.2e-1\n")
+    out = plot_results_files([str(b1), str(b2)],
+                             str(tmp_path / "overlay.png"))
+    assert os.path.getsize(out) > 1000
+    s = tmp_path / "SNR_vs_A_0.01_x.txt"
+    s.write_text("1000\t-1.0\n2000\t-1.2\n")
+    out2 = plot_results_files([str(s)], str(tmp_path / "snr.png"))
+    assert os.path.getsize(out2) > 1000
+    with pytest.raises(ValueError, match="mixed"):
+        plot_results_files([str(b1), str(s)], str(tmp_path / "bad.png"))
+    with pytest.raises(ValueError, match="kind"):
+        plot_results_files([str(tmp_path / "other.txt")],
+                           str(tmp_path / "bad2.png"))
