@@ -226,6 +226,8 @@ def sweep_rows():
       literal semantics (NRLDPCDecoder.m:120)
     - packed small-Z (BG2 Z=72) layered min-sum — exercises the kernel's
       lane-packing path (DESIGN.md section 9)
+    - flagship 2-stage HARQ IR at -2 dB — the measured retransmission cost
+      (both rv stages execute for almost every block)
     """
     from ldpc_3gpp_tpu.models.chain import ChainConfig
     from ldpc_3gpp_tpu.spec.params import LDPCParams
@@ -263,6 +265,20 @@ def sweep_rows():
         name="bg2_z72_packed_layered",
         cfg=bg2_cfg(600, "min-sum", "layered", 12), esn0=2.0,
         batch=512, steps=256,
+    ))
+    # HARQ incremental-redundancy economics: flagship with a 2-stage rv
+    # sequence at an Es/N0 where the first shot usually fails, so the
+    # second (Chase+IR-combined) decode really runs — the measured cost of
+    # a retransmission round trip vs the single-shot rows above.
+    flag_harq = _flagship_config()
+    rows.append(dict(
+        name="flagship_harq_rv02_esn0_-2.0",
+        cfg=ChainConfig(
+            params=flag_harq.params, modulation="QPSK",
+            rv_sequence=(0, 2), iterations=12, algorithm="min-sum",
+            early_termination=True, backend="auto", schedule="layered",
+        ),
+        esn0=-2.0, batch=128, steps=128,
     ))
     return rows
 
