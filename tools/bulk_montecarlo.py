@@ -13,7 +13,6 @@ Example:  python tools/bulk_montecarlo.py --blocks 100000000 --esn0 17.0
 import argparse
 import json
 import os
-import sys
 import time
 
 if __package__ in (None, ""):  # script run: tools/ is sys.path[0]

@@ -18,7 +18,6 @@ config and reports, per candidate:
 Run on the TPU:  python tools/exp_alpha_schedule.py
 Conclusions land in DESIGN.md section 8 (win or dead-end, with numbers).
 """
-import os
 from functools import partial
 
 if __package__ in (None, ""):  # script run: tools/ is sys.path[0]
