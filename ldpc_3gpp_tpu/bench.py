@@ -135,10 +135,15 @@ def measure_throughput(cfg, esn0, batch=128, steps=1024, trials=3, reps=4):
     for t in range(trials):
         t0 = time.perf_counter()
         outs = [sim(fast_key(1 + t * reps + i), e) for i in range(reps)]
-        errs += int(sum(o[1] for o in outs))
-        iters += int(sum(o[2] for o in outs))
-        blocks += int(sum(o[0] for o in outs))
+        # ONE aggregate scalar fetch is the sync point (it depends on every
+        # rep's completion); fetching more inside the timed region costs
+        # extra ~30 ms tunnel round trips per counter and was measured to
+        # shave ~2% off the headline
+        errs_t = int(sum(o[1] for o in outs))
         times.append(time.perf_counter() - t0)
+        errs += errs_t
+        blocks += int(sum(o[0] for o in outs))
+        iters += int(sum(o[2] for o in outs))
     best = min(times) / reps
     tb_per_sec = batch * steps / best
     return tb_per_sec, iters / max(blocks, 1), errs, blocks
