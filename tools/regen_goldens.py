@@ -447,9 +447,10 @@ def bench_sweep():
             "NMS 12 it) vs Es/N0 -1..+4 dB; flagship vs iteration budget "
             "{4,8,12,25} at +1 dB; BG2 A=2048 Z=208 SP-flooding 8 it "
             "(reference comm.LDPCDecoder semantics) at +2 dB; packed "
-            "small-Z BG2 A=600 Z=72 layered NMS at +2 dB.  Rows use "
-            "shallow steps-per-dispatch (64-256 vs the headline's 2048), "
-            "so absolute Mbit/s sit ~15-25% below the headline number — "
+            "small-Z BG2 A=600 Z=72 layered NMS at +2 dB; flagship "
+            "2-stage HARQ IR at -2 dB.  Rows use shallow "
+            "steps-per-dispatch (64-256 vs the headline's 2048), so "
+            "absolute Mbit/s sit ~10-15% below the headline number — "
             "read the surface for RELATIVE operating-point economics "
             "(ET iteration mix vs Es/N0 and budget), and compare rows "
             "only against this artifact's own values.  Throughputs carry "
