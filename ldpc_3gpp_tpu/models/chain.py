@@ -13,7 +13,7 @@ ldpc_3gpp_tpu.parallel.montecarlo.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +53,11 @@ class ChainConfig:
     backend: str = "auto"
     schedule: str = "flooding"  # BP schedule ('layered' needs backend auto/pallas)
     message_dtype: str = "float32"  # kernel state dtype ('bfloat16': 2x tile)
+    # iteration-dependent NMS normalization (alpha0, n0): alpha0 for the
+    # first n0 sweeps, then `alpha`.  None = constant alpha (bit-exact
+    # baseline).  Measured a dead end at the bench point (DESIGN.md
+    # section 8) but exposed for other operating points.
+    alpha_schedule: Optional[Tuple[float, int]] = None
 
     def __post_init__(self):
         assert Q_M[self.modulation] == self.params.Q_m, (
@@ -146,6 +151,7 @@ def simulate_batch(
             backend=cfg.backend,
             schedule=cfg.schedule,
             message_dtype=cfg.message_dtype,
+            alpha_schedule=cfg.alpha_schedule,
         )
         state = res.state
         newly = res.tb_ok & ~success

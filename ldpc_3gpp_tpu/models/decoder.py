@@ -197,6 +197,7 @@ def decode_transport_block(
     backend: str = "fast",
     schedule: str = "flooding",
     message_dtype: str = "float32",
+    alpha_schedule=None,
 ) -> TBDecodeResult:
     """Full decode chain for one (re)transmission of (..., G) channel LLRs.
 
@@ -210,6 +211,7 @@ def decode_transport_block(
         iterations=iterations, algorithm=algorithm, alpha=alpha, beta=beta,
         early_termination=early_termination, backend=backend,
         schedule=schedule, message_dtype=message_dtype,
+        alpha_schedule=alpha_schedule,
     )
 
 
@@ -225,6 +227,7 @@ def decode_transport_block_d(
     backend: str = "fast",
     schedule: str = "flooding",
     message_dtype: str = "float32",
+    alpha_schedule=None,
 ) -> TBDecodeResult:
     """``decode_transport_block`` from the (..., C, N) circular-buffer LLRs.
 
@@ -245,6 +248,21 @@ def decode_transport_block_d(
     d_buf = d_tilde[..., :N_cb]
 
     extra = {}
+    if alpha_schedule is not None:
+        # iteration-dependent NMS normalization (ops/decoder_pallas.py /
+        # ops/decoder_layered.py): supported by the kernel (both schedules)
+        # and the XLA layered oracle; the flooding XLA path has no use for
+        # it (flooding is the bit-exact MATLAB-semantics mode)
+        if not _kernel_engaged(backend, algorithm, params) and (
+            schedule != "layered" or backend == "reference"
+        ):
+            raise ValueError(
+                "alpha_schedule requires the pallas kernel or the XLA "
+                "layered backend (schedule='layered')"
+            )
+        extra["alpha_schedule"] = (
+            float(alpha_schedule[0]), int(alpha_schedule[1])
+        )
     if message_dtype != "float32":
         if backend not in ("pallas", "auto"):
             raise ValueError(

@@ -310,3 +310,33 @@ def test_fused_symbol_path_matches_composition(modulation, A, G):
             )
         )(rx)
         np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(d_fused))
+
+
+def test_alpha_schedule_reachable_from_chain():
+    """ChainConfig.alpha_schedule reaches the decoder (changes the layered
+    NMS trajectory) and is rejected with a clear error on the flooding XLA
+    path, which has no use for it (the bit-exact MATLAB-semantics mode)."""
+    import jax
+
+    from ldpc_3gpp_tpu.models.chain import ChainConfig, simulate_batch
+    from ldpc_3gpp_tpu.spec.params import LDPCParams
+
+    p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
+    base = dict(params=p, modulation="QPSK", iterations=8,
+                algorithm="min-sum", schedule="layered")
+    r0 = jax.jit(
+        lambda k: simulate_batch(ChainConfig(**base), k, 3.0, 64)
+    )(jax.random.PRNGKey(0))
+    r1 = jax.jit(
+        lambda k: simulate_batch(
+            ChainConfig(**base, alpha_schedule=(0.6, 2)), k, 3.0, 64
+        )
+    )(jax.random.PRNGKey(0))
+    assert int(r0.iterations) != int(r1.iterations)
+    with pytest.raises(ValueError, match="alpha_schedule"):
+        simulate_batch(
+            ChainConfig(params=p, modulation="QPSK", iterations=4,
+                        algorithm="min-sum", schedule="flooding",
+                        backend="fast", alpha_schedule=(0.6, 1)),
+            jax.random.PRNGKey(1), 3.0, 8,
+        )
