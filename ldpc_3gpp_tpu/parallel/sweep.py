@@ -38,7 +38,7 @@ CAPPED_PREFIX = "# capped"
 
 
 def _scan_resume_file(fname, parse) -> Dict:
-    """Parse a results file for resume, tolerating only a torn FINAL line.
+    """Parse + REPAIR a results file for resume.
 
     The file is append+flush-per-point, so the crash that resume recovers
     from can leave exactly one partial or blank trailing line.  A malformed
@@ -46,16 +46,29 @@ def _scan_resume_file(fname, parse) -> Dict:
     sweep) — resuming from it would silently drop data, so that raises.
     ``# capped``-annotated points (see CAPPED_PREFIX) are NOT treated as
     done: a resumed sweep re-simulates them in case the cap was raised.
+
+    Repair (the file is rewritten in place when either applies):
+    - a torn final line (no/partial fields, or missing its newline) is
+      truncated — otherwise the first appended point would be glued onto
+      the fragment, producing exactly the malformed interior line the next
+      resume refuses (advisor round-4, medium);
+    - capped data rows and their annotation lines are dropped, since the
+      resumed sweep re-simulates those Es/N0 values and appends fresh rows —
+      keeping both would leave duplicate x entries with contradictory
+      values for downstream consumers of the reference-format file.
     """
     done = {}
-    lines = []
+    keep = []
     with open(fname) as fid:
         lines = fid.readlines()
     for i, line in enumerate(lines):
+        if line.startswith(CAPPED_PREFIX):
+            continue  # annotation of a capped row (dropped with its row)
         if line.startswith("#"):
-            continue  # annotation lines (e.g. capped-point markers)
+            keep.append(line)  # other comment lines pass through
+            continue
         parts = line.split()
-        ok = len(parts) == 2
+        ok = len(parts) == 2 and line.endswith("\n")
         if ok:
             try:
                 k, v = parse(parts)
@@ -72,7 +85,11 @@ def _scan_resume_file(fname, parse) -> Dict:
         # a following "# capped" annotation voids the point for resume
         if i + 1 < len(lines) and lines[i + 1].startswith(CAPPED_PREFIX):
             continue
+        keep.append(line)
         done[k] = v
+    if keep != lines:
+        with open(fname, "w") as fid:
+            fid.writelines(keep)
     return done
 
 

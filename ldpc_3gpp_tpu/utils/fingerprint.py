@@ -26,8 +26,42 @@ import hashlib
 import os
 
 
+def _serialize(value, out) -> None:
+    """Interpreter-version-stable AST serialization (advisor round-4).
+
+    ``ast.dump`` output changes across Python minors (3.12 added
+    ``type_params=[]`` to every FunctionDef/ClassDef dump), which would
+    spuriously flag every golden stale when the quick tier runs under a
+    different interpreter.  This serializer emits node type names plus
+    ``iter_fields``, SKIPPING fields that are None or an empty list — new
+    Python versions introduce new fields with exactly those defaults, so
+    sources that don't use a new construct hash identically everywhere.
+    Code that does use a version-specific construct differs legitimately.
+    """
+    if isinstance(value, ast.AST):
+        out.append(type(value).__name__)
+        out.append("(")
+        for name, field in ast.iter_fields(value):
+            if field is None or (isinstance(field, list) and not field):
+                continue
+            out.append(name)
+            out.append("=")
+            _serialize(field, out)
+            out.append(",")
+        out.append(")")
+    elif isinstance(value, list):
+        out.append("[")
+        for item in value:
+            _serialize(item, out)
+            out.append(",")
+        out.append("]")
+    else:  # constants: repr distinguishes 1 / 1.0 / True / '1' / b'1'
+        out.append(f"{type(value).__name__}:{value!r}")
+
+
 def _normalized(path: str) -> bytes:
-    """Comment/docstring/formatting-invariant dump of one Python source."""
+    """Comment/docstring/formatting/interpreter-invariant dump of one
+    Python source."""
     with open(path, "r") as fid:
         tree = ast.parse(fid.read())
     for node in ast.walk(tree):
@@ -43,9 +77,9 @@ def _normalized(path: str) -> bytes:
                 and isinstance(body[0].value.value, str)
             ):
                 node.body = body[1:] or [ast.Pass()]
-    return ast.dump(
-        tree, annotate_fields=False, include_attributes=False
-    ).encode()
+    out = []
+    _serialize(tree, out)
+    return "".join(out).encode()
 
 
 def semantics_fingerprint() -> str:

@@ -15,7 +15,14 @@ from typing import NamedTuple, Optional, Sequence
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+# The oracle sources live in the repo's native/ checkout directory (they are
+# deliberately NOT packaged: the oracle's value is being an independent
+# artifact a reviewer can read next to the Makefile that builds it).
+# LDPC_NATIVE_DIR overrides for installs that vendored the sources elsewhere.
+_NATIVE_DIR = os.environ.get(
+    "LDPC_NATIVE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", "..", "native"),
+)
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libgolden.so")
 _lib: Optional[ctypes.CDLL] = None
 
@@ -26,6 +33,16 @@ _ALGO = {"min-sum": 0, "offset-min-sum": 1, "sum-product": 2}
 
 
 def _build() -> None:
+    if not os.path.isdir(_NATIVE_DIR):
+        # A plain `pip install` packages only ldpc_3gpp_tpu/*; the oracle is
+        # a source-checkout artifact (advisor round-4: fail clearly instead
+        # of an opaque make/dlopen error from the installed console command).
+        raise RuntimeError(
+            "the native conformance oracle requires a source checkout "
+            f"(native/golden.cpp + Makefile; looked in {_NATIVE_DIR!r}): "
+            "run from the repo, install with `pip install -e .`, or point "
+            "LDPC_NATIVE_DIR at a copy of the native/ directory"
+        )
     # Serialize across processes: under pytest-xdist several workers hit
     # load() concurrently; without a lock they race the .so write and can
     # dlopen a partially written library.

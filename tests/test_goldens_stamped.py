@@ -64,3 +64,31 @@ def test_fingerprint_ignores_comments_and_docstrings(tmp_path, monkeypatch):
     # but an executable-structure change DOES change it
     target.write_text(target.read_text() + "\n_SEMANTICS_PROBE = 1\n")
     assert fp.semantics_fingerprint() != before
+
+
+def test_fingerprint_stable_across_interpreter_field_additions():
+    """New Python minors add new (empty-by-default) AST fields — e.g. 3.12's
+    ``type_params`` on FunctionDef — which made ast.dump-based stamps
+    interpreter-version-dependent (advisor round-4).  The serializer skips
+    None/empty-list fields, so a simulated future interpreter that grows an
+    extra empty field hashes identically."""
+    import ast
+
+    from ldpc_3gpp_tpu.utils.fingerprint import _serialize
+
+    src = "def f(x):\n    return x + 1\n"
+
+    def ser(tree):
+        out = []
+        _serialize(tree, out)
+        return "".join(out)
+
+    base = ser(ast.parse(src))
+    grown = ast.parse(src)
+    fd = grown.body[0]
+    fd._fields = fd._fields + ("future_field",)  # instance shadows class
+    fd.future_field = []
+    assert ser(grown) == base
+    # a POPULATED new field must still change the hash (real semantics)
+    fd.future_field = [ast.Constant(value=1)]
+    assert ser(grown) != base

@@ -128,6 +128,38 @@ def test_resume_rejects_corrupt_interior_line(tmp_path):
     assert done == {1.0: 0.5, 2.0: 0.2}
 
 
+def test_resume_repairs_file_tail_and_capped_rows(tmp_path):
+    """The scanner REWRITES the file before the sweep appends (advisor
+    round-4, medium): a torn final line is truncated (otherwise the first
+    appended point glues onto the fragment, corrupting that record and
+    poisoning every later resume), and capped rows + their annotations are
+    dropped (the resumed sweep re-simulates them; keeping both would leave
+    duplicate Es/N0 entries with contradictory BLER values)."""
+    parse = lambda p: (float(p[0]), float(p[1]))
+    # torn tail: partial fields
+    f = tmp_path / "BLER_vs_SNR_x.txt"
+    f.write_text("1.0\t0.5\n2.0\t")
+    assert _scan_resume_file(str(f), parse) == {1.0: 0.5}
+    assert f.read_text() == "1.0\t0.5\n"
+    # torn tail: complete fields but missing the newline (interrupted write)
+    f.write_text("1.0\t0.5\n2.0\t0.2")
+    assert _scan_resume_file(str(f), parse) == {1.0: 0.5}
+    assert f.read_text() == "1.0\t0.5\n"
+    # appending after repair yields a cleanly parseable file
+    with open(f, "a") as fid:
+        fid.write("2.0\t0.25\n")
+    assert _scan_resume_file(str(f), parse) == {1.0: 0.5, 2.0: 0.25}
+    # capped row + annotation: dropped from the file, point not done
+    f.write_text("1.0\t0.5\n2.0\t0.2\n"
+                 f"{CAPPED_PREFIX} 1/3 errors in 64 blocks\n3.0\t0.1\n")
+    assert _scan_resume_file(str(f), parse) == {1.0: 0.5, 3.0: 0.1}
+    assert f.read_text() == "1.0\t0.5\n3.0\t0.1\n"
+    # a fully clean file is left byte-identical
+    before = f.read_text()
+    _scan_resume_file(str(f), parse)
+    assert f.read_text() == before
+
+
 def test_sweep_reaches_full_parameter_engine(tmp_path):
     """N_L / I_LBRM / TBS_LBRM / CBGTI thread from the experiment layer into
     LDPCParams (NRLDPC.m:51-85 makes these first-class tunables)."""
