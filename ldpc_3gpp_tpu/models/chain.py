@@ -50,20 +50,39 @@ class ChainConfig:
     # implementation knob, not semantics: the kernel is bit-exact vs the
     # XLA backends for both schedules (tests/test_tpu_kernel.py), so
     # user-facing sweeps get kernel speed by default with identical curves.
+    # 'pallas-interpret' runs the same kernel trace under the Pallas
+    # interpreter on any backend (CPU meshes, dryruns); slow on chip.
     backend: str = "auto"
-    schedule: str = "flooding"  # BP schedule ('layered' needs backend auto/pallas)
+    schedule: str = "flooding"  # BP schedule ('layered': backend auto/pallas*)
     message_dtype: str = "float32"  # kernel state dtype ('bfloat16': 2x tile)
     # iteration-dependent NMS normalization (alpha0, n0): alpha0 for the
     # first n0 sweeps, then `alpha`.  None = constant alpha (bit-exact
     # baseline).  Measured a dead end at the bench point (DESIGN.md
     # section 8) but exposed for other operating points.
     alpha_schedule: Optional[Tuple[float, int]] = None
+    # Per-stage CBGTI: cbgti_sequence[i] is the CBGTI tuple for rv stage i,
+    # overriding params.CBGTI — the reference's tunable-between-steps CBGTI
+    # (NRLDPC.m:71-85), where a retransmission reschedules only failed code
+    # blocks.  None = params.CBGTI for every stage.  G redistributes over
+    # the scheduled blocks per stage (E_r, NRLDPC.m:485-507); excluded
+    # blocks decode from the HARQ buffer and keep their latched b_hat
+    # (NRLDPCDecoder.m:286-318).
+    cbgti_sequence: Optional[Tuple[Tuple[int, ...], ...]] = None
 
     def __post_init__(self):
         assert Q_M[self.modulation] == self.params.Q_m, (
             f"modulation {self.modulation} has Q_m={Q_M[self.modulation]} but "
             f"params.Q_m={self.params.Q_m}"
         )
+        if self.cbgti_sequence is not None:
+            seq = tuple(tuple(c) for c in self.cbgti_sequence)
+            object.__setattr__(self, "cbgti_sequence", seq)
+            assert len(seq) == len(self.rv_sequence), (
+                f"cbgti_sequence has {len(seq)} stages but rv_sequence has "
+                f"{len(self.rv_sequence)}"
+            )
+            for c in seq:  # every stage must keep >= 1 scheduled block
+                self.params.with_tx(CBGTI=c).E_r
 
 
 class BatchResult(NamedTuple):
@@ -127,7 +146,11 @@ def simulate_batch(
     iter_hist = jnp.zeros((cfg.iterations + 1,), jnp.int32)
 
     for stage, rv in enumerate(cfg.rv_sequence):
-        p = p0.with_rv(rv)
+        p = p0.with_tx(
+            rv_id=rv,
+            CBGTI=(None if cfg.cbgti_sequence is None
+                   else cfg.cbgti_sequence[stage]),
+        )
         # Fused symbol path: the Section 5.4.2.2 (de)interleaver shuffles
         # compose away against the modulator's bit-plane structure, so the
         # interleaved bit/LLR streams g and g~ never materialize.  Values

@@ -49,7 +49,7 @@ def _kernel_engaged(backend: str, algorithm: str, params: LDPCParams) -> bool:
     kernel's fused ``channel_format='d'`` input path exactly when the
     kernel will consume it.
     """
-    if backend == "pallas":
+    if backend in ("pallas", "pallas-interpret"):
         return True
     return (
         backend == "auto"
@@ -74,15 +74,28 @@ def _bp_decode_auto(params, llr, *, algorithm, schedule="layered", **kw):
     return bp_decode_fast(params, llr, algorithm=algorithm, **kw)
 
 
+def _bp_decode_interpret(params, llr, **kw):
+    """The Pallas kernel in Pallas interpret mode: the SAME kernel trace
+    (tiling, packing, fused d-input/sys-output, rolls, termination masks)
+    executed by the interpreter on any backend.  This is how the kernel —
+    including its check_vma=False seam under shard_map
+    (parallel/montecarlo.py) — runs on the driver's virtual CPU mesh and in
+    CPU-tier tests; on-chip it is only a debugging aid (orders of magnitude
+    slower than the compiled kernel)."""
+    return decoder_pallas.decode(params, llr, interpret=True, **kw)
+
+
 # BP decoder implementations:
 #   'auto'      — pallas kernel (layered or flooding) on TPU, else 'fast'
 #   'pallas'    — VMEM-resident TPU kernel: SP/NMS/OMS x layered/flooding
+#   'pallas-interpret' — the same kernel, interpreted: runs on CPU meshes
 #   'fast'      — static-roll XLA path: flooding (bit-exact vs 'reference')
 #                 or layered (ops/decoder_layered.py, the kernel's oracle)
 #   'reference' — flooding, segment-op oracle (ops/decoder.py)
 DECODE_BACKENDS = {
     "auto": _bp_decode_auto,
     "pallas": decoder_pallas.decode,
+    "pallas-interpret": _bp_decode_interpret,
     "fast": _drop_schedule(bp_decode_fast, bp_decode_layered),
     "reference": _drop_schedule(bp_decode_ref),
 }
@@ -264,7 +277,7 @@ def decode_transport_block_d(
             float(alpha_schedule[0]), int(alpha_schedule[1])
         )
     if message_dtype != "float32":
-        if backend not in ("pallas", "auto"):
+        if backend not in ("pallas", "pallas-interpret", "auto"):
             raise ValueError(
                 f"message_dtype={message_dtype} is a pallas-kernel knob; "
                 f"backend {backend!r} is f32-only"

@@ -272,3 +272,20 @@ class LDPCParams:
     def with_rv(self, rv_id: int) -> "LDPCParams":
         """New params for a HARQ retransmission with a different rv_id."""
         return dataclasses.replace(self, rv_id=rv_id)
+
+    def with_tx(self, rv_id=None, CBGTI=None) -> "LDPCParams":
+        """New params for a HARQ (re)transmission.
+
+        rv_id and CBGTI are the reference's tunable-between-steps properties
+        (NRLDPC.m:51-85): a retransmission typically advances the redundancy
+        version AND reschedules only the code blocks that failed (CBGTI
+        excludes the rest, NRLDPC.m:471-482).  ``None`` keeps the current
+        value.  C / K / N / N_cb are CBGTI-invariant, so HARQ buffers carry
+        across the change; E_r redistributes G over the scheduled blocks.
+        """
+        changes = {}
+        if rv_id is not None:
+            changes["rv_id"] = rv_id
+        if CBGTI is not None:
+            changes["CBGTI"] = tuple(CBGTI)
+        return dataclasses.replace(self, **changes)

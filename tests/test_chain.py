@@ -161,6 +161,53 @@ def test_cbgti_excluded_blocks_come_from_buffer():
     np.testing.assert_array_equal(np.asarray(res2.a_hat), np.asarray(a))
 
 
+def test_cbgti_sequence_per_stage_scheduling():
+    """Per-stage CBGTI (ChainConfig.cbgti_sequence): the reference's
+    tunable-between-steps CBGTI (NRLDPC.m:71-85) — a retransmission that
+    reschedules only some code blocks redistributes G over them
+    (NRLDPC.m:485-507) while excluded blocks ride the HARQ buffer."""
+    p = LDPCParams(BG=2, A=7650, G=22950, Q_m=2)
+    assert p.C == 3
+    # E_r redistribution: excluding CB 0 spreads G over the other two
+    p_part = p.with_tx(rv_id=2, CBGTI=(0,))
+    assert p_part.E_r[0] == 0 and sum(p_part.E_r) == p.G
+    assert p_part.rv_id == 2 and min(p_part.E_r[1:]) > max(p.E_r) * 1.4
+    base = dict(params=p, modulation="QPSK", iterations=8,
+                algorithm="min-sum")
+    # an all-scheduled cbgti_sequence is the identity: bit-equal counters
+    key = jax.random.PRNGKey(11)
+    r_none = simulate_batch(ChainConfig(rv_sequence=(0, 2), **base),
+                            key, 12.0, 16)
+    r_id = simulate_batch(
+        ChainConfig(rv_sequence=(0, 2), cbgti_sequence=((), ()), **base),
+        key, 12.0, 16)
+    for a, b in zip(jax.tree.leaves(r_none), jax.tree.leaves(r_id)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # partial retransmission: stage 2 excludes CB 0.  At high SNR every
+    # block decodes at stage 0 (stop-on-success): counters equal the
+    # 1-stage run, proving exclusion never corrupts decoded blocks.
+    r_part = simulate_batch(
+        ChainConfig(rv_sequence=(0, 2), cbgti_sequence=((), (0,)), **base),
+        key, 12.0, 16)
+    r_one = simulate_batch(ChainConfig(rv_sequence=(0,), **base),
+                           key, 12.0, 16)
+    assert int(r_part.block_errors) == int(r_one.block_errors) == 0
+    assert int(r_part.iterations) == int(r_one.iterations)
+    # near the waterfall the partial retransmission must help vs no
+    # retransmission (IR combining on the scheduled blocks) — same key, so
+    # stage 0 is identical between the two runs
+    lo_one = simulate_batch(ChainConfig(rv_sequence=(0,), **base),
+                            key, 1.0, 32)
+    lo_part = simulate_batch(
+        ChainConfig(rv_sequence=(0, 2), cbgti_sequence=((), (0,)), **base),
+        key, 1.0, 32)
+    assert int(lo_one.block_errors) > 0
+    assert int(lo_part.block_errors) < int(lo_one.block_errors)
+    # stage-count mismatch is rejected at construction
+    with pytest.raises(AssertionError, match="cbgti_sequence"):
+        ChainConfig(rv_sequence=(0,), cbgti_sequence=((), (0,)), **base)
+
+
 def test_simulate_batch_counters():
     p = LDPCParams(BG=2, A=100, G=300, Q_m=2)
     cfg = ChainConfig(params=p, modulation="QPSK", iterations=15)

@@ -323,6 +323,57 @@ def test_bench_sweep_golden():
     assert not failures, failures
 
 
+def test_bulk_cbgti_golden_not_stale():
+    """CBGTI gate: the per-stage-CBGTI HARQ config
+    (golden/bulk_cbgti_montecarlo.json: BG2 A=7650 Z=288 C=3, rv (0,2)
+    with stage 2 excluding CB 0) re-measured through the sharded
+    Monte-Carlo engine must reproduce the artifact's BLER within 5
+    combined sigma.  ~30% of successes at this point come specifically
+    from the skipped-CB b_hat/HARQ-buffer carry + E_r redistribution path
+    (NRLDPC.m:471-482, NRLDPCDecoder.m:286-318), so silent breakage there
+    moves the measured BLER far outside the gate.  Regenerate with
+    `python tools/regen_goldens.py bulkcbgti`."""
+    import json
+    import math
+    import os
+
+    from ldpc_3gpp_tpu.models.chain import ChainConfig
+    from ldpc_3gpp_tpu.ops.modulation import Q_M
+    from ldpc_3gpp_tpu.parallel.montecarlo import MonteCarlo
+    from ldpc_3gpp_tpu.utils.rng import fast_key
+
+    path = os.path.join(os.path.dirname(__file__), "..", "golden",
+                        "bulk_cbgti_montecarlo.json")
+    golden = json.load(open(path))
+    gcfg = golden["config"]
+    p = LDPCParams(BG=gcfg["BG"], A=gcfg["A"], G=gcfg["G"],
+                   Q_m=Q_M[gcfg["modulation"]])
+    assert p.C == 3  # the multi-CB structure the gate depends on
+    cfg = ChainConfig(
+        params=p, modulation=gcfg["modulation"],
+        iterations=gcfg["iterations"], algorithm=gcfg["algorithm"],
+        backend="auto", schedule=gcfg["schedule"],
+        rv_sequence=tuple(gcfg["rv_sequence"]),
+        cbgti_sequence=tuple(tuple(c) for c in gcfg["cbgti_sequence"]),
+    )
+    mc = MonteCarlo(cfg, batch_per_device=256, steps_per_call=16)
+    blocks = errors = 0
+    key = fast_key(781)
+    while blocks < 200_000:
+        key, sub = jax.random.split(key)
+        c = mc.run_pipelined(sub, gcfg["esn0_db"], 4)
+        blocks += c["blocks"]
+        errors += c["block_errors"]
+    bler = errors / blocks
+    p_hat = golden["bler"]
+    sigma = math.sqrt(p_hat * (1 - p_hat) * (1 / blocks + 1 / golden["blocks"]))
+    assert abs(bler - p_hat) < 5 * sigma, (
+        f"CBGTI bulk golden stale or semantics drifted: measured {bler:.3e} "
+        f"over {blocks} blocks vs golden {p_hat:.3e} (|diff| > 5 sigma = "
+        f"{5*sigma:.2e}) — re-measure with tools/regen_goldens.py bulkcbgti"
+    )
+
+
 def test_bulk_lbrm_golden_not_stale():
     """Non-default parameter-engine gate: the N_L=2 + LBRM-limited config
     (golden/bulk_lbrm_montecarlo.json: BG1 A=4000 Z=192, TBS_LBRM=6000 ->

@@ -45,6 +45,13 @@ def main():
     ap.add_argument("--I-LBRM", type=int, default=0, dest="I_LBRM")
     ap.add_argument("--TBS-LBRM", type=int, default=None, dest="TBS_LBRM")
     ap.add_argument("--CBGTI", type=int, nargs="*", default=(), dest="CBGTI")
+    ap.add_argument("--rv-sequence", type=int, nargs="*", default=(0,),
+                    dest="rv_sequence",
+                    help="HARQ redundancy-version sequence (default: 0)")
+    ap.add_argument("--cbgti-seq", default=None, dest="cbgti_seq",
+                    help="per-stage CBGTI as JSON, e.g. '[[],[0]]' — stage i "
+                         "excludes the listed code blocks (tunable-"
+                         "between-steps CBGTI, NRLDPC.m:71-85)")
     ap.add_argument("--out", default="golden/bulk_montecarlo.json")
     args = ap.parse_args()
 
@@ -64,9 +71,12 @@ def main():
     params = LDPCParams(BG=args.bg, A=args.A, G=G, Q_m=qm, N_L=args.N_L,
                         I_LBRM=args.I_LBRM, TBS_LBRM=args.TBS_LBRM,
                         CBGTI=tuple(args.CBGTI))
+    cbgti_seq = (None if args.cbgti_seq is None else
+                 tuple(tuple(c) for c in json.loads(args.cbgti_seq)))
     cfg = ChainConfig(
         params=params, modulation=args.modulation, iterations=args.iterations,
         algorithm=args.algorithm, backend="auto", schedule=args.schedule,
+        rv_sequence=tuple(args.rv_sequence), cbgti_sequence=cbgti_seq,
     )
     mc = MonteCarlo(
         cfg, batch_per_device=args.batch_per_device,
@@ -108,6 +118,9 @@ def main():
             "algorithm": args.algorithm, "schedule": args.schedule,
             "N_L": args.N_L, "I_LBRM": args.I_LBRM,
             "TBS_LBRM": args.TBS_LBRM, "CBGTI": list(args.CBGTI),
+            "rv_sequence": list(args.rv_sequence),
+            "cbgti_sequence": (None if cbgti_seq is None
+                               else [list(c) for c in cbgti_seq]),
             "N_cb": params.N_cb, "N": params.N,
             "devices": jax.device_count(),
         },

@@ -18,6 +18,7 @@ Stages (run all by default, or name a subset):
   bulk      bulk_montecarlo.json (20M 256QAM blocks @ 15.75 dB)
   bulksp    bulk_sp_montecarlo.json (2M QPSK blocks, SP flooding gate cfg)
   bulklbrm  bulk_lbrm_montecarlo.json (2M blocks, N_L=2 + LBRM-limited cfg)
+  bulkcbgti bulk_cbgti_montecarlo.json (2M blocks, per-stage CBGTI HARQ cfg)
   bench_sweep  bench_sweep.json (ET throughput-economics surface)
 
 Run sequentially in ONE process — never two TPU processes at once (the
@@ -428,6 +429,34 @@ def bulklbrm():
     )
 
 
+def bulkcbgti():
+    """Measure golden/bulk_cbgti_montecarlo.json: Monte-Carlo golden at a
+    CBGTI-non-default config — BG2 A=7650 Z=288 C=3 QPSK R=1/3, HARQ
+    rv_sequence=(0,2) with per-stage CBGTI ((),(0,)): the retransmission
+    reschedules only code blocks 1-2, so G redistributes over C'=2
+    (NRLDPC.m:485-507) and CB 0 must ride the latched b_hat / HARQ-buffer
+    carry path (NRLDPCDecoder.m:286-318).  At 0.5 dB ~30% of blocks succeed
+    specifically via that carry (stage-0 BLER ~0.72 -> final ~0.41), so the
+    skipped-CB path carries real statistical weight.  Gated by
+    tests/test_tpu_kernel.py::test_bulk_cbgti_golden_not_stale (VERDICT r4
+    item 3: the last first-class tunable gets a measured end-to-end
+    artifact)."""
+    import subprocess
+
+    subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "bulk_montecarlo.py"),
+         "--blocks", "2000000", "--A", "7650", "--rate", str(1 / 3),
+         "--bg", "2", "--modulation", "QPSK", "--esn0", "0.5",
+         "--iterations", "8", "--algorithm", "min-sum",
+         "--schedule", "layered", "--rv-sequence", "0", "2",
+         "--cbgti-seq", "[[],[0]]",
+         "--batch-per-device", "256", "--steps-per-call", "32",
+         "--out", os.path.join(GOLDEN, "bulk_cbgti_montecarlo.json")],
+        check=True,
+    )
+
+
 def bench_sweep():
     """Measure golden/bench_sweep.json: the early-termination throughput
     economics surface (decoded Gbit/s + mean iterations vs Es/N0 across the
@@ -472,6 +501,7 @@ STAGES = {
     "bulk": bulk,
     "bulksp": bulksp,
     "bulklbrm": bulklbrm,
+    "bulkcbgti": bulkcbgti,
     "bench_sweep": bench_sweep,
 }
 
