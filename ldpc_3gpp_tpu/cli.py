@@ -150,6 +150,57 @@ def snr_vs_a_main(argv=None):
         print(f"plot: {path}")
 
 
+def _soak(args, run):
+    """``ldpc-testbench --soak``: grow the differential-fuzz population.
+
+    Runs ``--trials`` encode trials AND ``--trials`` decode trials for each
+    of ``--num-seeds`` consecutive seeds (default: continuing from the
+    highest seed the tally has seen, so every soak run extends the
+    population with FRESH draws), then appends one entry to the cumulative
+    tally at golden/soak_tally.json and prints the running totals.  Any
+    mismatch aborts before the tally is written (the underlying testbench
+    exits nonzero), so the tally only ever counts clean trials.
+    """
+    import json
+    import time
+
+    from ldpc_3gpp_tpu.utils.fingerprint import semantics_fingerprint
+
+    tally_path = os.path.join(
+        os.path.dirname(__file__), "..", "golden", "soak_tally.json"
+    )
+    tally = {"description": (
+        "Cumulative differential-fuzz tally (ldpc-testbench --soak): every "
+        "entry is a clean run of N encode + N decode trials vs the "
+        "independent C++ oracle at the recorded seeds; totals grow "
+        "round-over-round (the pre-regen ritual, CLAUDE.md).  The "
+        "semantics field records the decoder fingerprint each population "
+        "segment was fuzzed at."), "entries": []}
+    if os.path.exists(tally_path):
+        tally = json.load(open(tally_path))
+    used = [s for e in tally["entries"] for s in e["seeds"]]
+    base = args.seed if args.seed is not None else (max(used, default=-1) + 1)
+    seeds = list(range(base, base + args.num_seeds))
+    for seed in seeds:
+        for mode in ([], ["--decode"]):
+            run(["--trials", str(args.trials), "--seed", str(seed)] + mode)
+    tally["entries"].append({
+        "seeds": seeds,
+        "encode_trials": args.trials * len(seeds),
+        "decode_trials": args.trials * len(seeds),
+        "semantics": semantics_fingerprint(),
+        "date": time.strftime("%Y-%m-%d"),
+    })
+    enc = sum(e["encode_trials"] for e in tally["entries"])
+    dec = sum(e["decode_trials"] for e in tally["entries"])
+    with open(tally_path, "w") as f:
+        json.dump(tally, f, indent=1)
+        f.write("\n")
+    print(f"SOAK TALLY: {enc} encode + {dec} decode clean differential "
+          f"trials across seeds {sorted(set(used + seeds))} "
+          f"(this run: seeds {seeds}, {args.trials}/mode/seed)")
+
+
 def testbench_main(argv=None):
     """Randomized differential conformance testbench.
 
@@ -181,7 +232,9 @@ def testbench_main(argv=None):
     """
     ap = argparse.ArgumentParser(description=testbench_main.__doc__)
     ap.add_argument("--trials", type=int, default=100, help="0 = run forever")
-    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="RNG seed (default 0; in --soak mode the default "
+                         "continues where the recorded tally left off)")
     ap.add_argument("--max-a", type=int, default=None,
                     help="max transport block size; defaults to 100000 "
                          "(testbench.m draws <=100000) for encode trials and "
@@ -190,7 +243,21 @@ def testbench_main(argv=None):
     ap.add_argument("--decode", action="store_true",
                     help="fuzz the symbol-level receive chain against the "
                          "C++ oracle instead")
+    ap.add_argument("--soak", action="store_true",
+                    help="ritual mode: run encode AND decode fuzz over "
+                         "--num-seeds fresh seeds, then extend the "
+                         "cumulative tally (golden/soak_tally.json).  The "
+                         "pre-regen ritual: the differential population "
+                         "keeps growing each round instead of being "
+                         "re-argued (testbench.m's run-forever usage model)")
+    ap.add_argument("--num-seeds", type=int, default=2,
+                    help="seeds per --soak run (trials are per seed per "
+                         "mode)")
     args = ap.parse_args(argv)
+    if args.soak:
+        return _soak(args, lambda a: testbench_main(a))
+    if args.seed is None:
+        args.seed = 0
     if args.max_a is None:
         args.max_a = 25000 if args.decode else 100000
 

@@ -43,16 +43,25 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import pytest
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _clear_jax_caches_between_modules():
-    """Bound the XLA CPU JIT code arena per worker.
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_after_every_test():
+    """Bound the XLA CPU JIT code arena per worker — green-by-construction.
 
-    Every jitted config is a large fresh compile; a long-lived xdist worker
-    accumulates executables until LLVM's contiguous code-section arena
-    overflows ("Unable to allocate section memory!" — observed as a
-    'node down' worker death).  Dropping executable references at module
-    boundaries lets the arena recycle; cross-module cache reuse is ~nil
-    anyway (each module compiles its own configs).
+    Every jitted config is a large fresh compile (or, warm, an AOT load
+    from the persistent cache); XLA:CPU maps ALL of them into one finite
+    contiguous code arena per process, and a long-lived xdist worker that
+    accumulates executables dies — "Unable to allocate section memory!" at
+    compile time, or a SIGSEGV inside the compilation-cache READ path at
+    AOT-load time (diagnosed round 4).  Releasing executable references
+    after EVERY test bounds arena pressure to a single test's programs, so
+    no future test module can reintroduce the crash by forgetting a
+    module-local fixture (the round-4 mitigation this replaces).
+
+    Cost: in-memory executable reuse across tests is lost, but tests jit
+    through fresh closures/partials (no cross-test pjit cache hits anyway)
+    and the persistent .jax_cache turns any repeat into a disk read.
+    Measured warm quick tier: no regression vs the module-scope clear
+    (1:52 -> 1:50 on this box).
     """
     yield
     import jax

@@ -15,19 +15,10 @@ from ldpc_3gpp_tpu.spec.params import LDPCParams
 
 RNG = np.random.default_rng(9)
 
-
-@pytest.fixture(autouse=True)
-def _clear_jit_caches():
-    """Drop compiled-executable references after each chain test.
-
-    These are the compile-heaviest tests in the suite (one full-chain
-    program per config); letting executables accumulate in one process
-    reliably segfaults XLA:CPU's JIT around the 6th-8th distinct chain
-    compile (crash in backend_compile_and_load, jaxlib 0.8.x).  Each test
-    compiles its own shapes anyway, so cross-test cache reuse is nil.
-    """
-    yield
-    jax.clear_caches()
+# Per-test jax.clear_caches() is repo-level now: tests/conftest.py's autouse
+# fixture releases compiled executables after EVERY test (these chain tests
+# are the compile-heaviest in the suite and motivated the round-4 per-module
+# mitigation this replaced).
 
 
 def _roundtrip(p, modulation, esn0, batch=4, iterations=20, state=None, key=0):

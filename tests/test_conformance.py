@@ -19,22 +19,11 @@ from ldpc_3gpp_tpu.utils.golden import golden_encode, golden_params
 RNG = np.random.default_rng(2024)
 
 
-@pytest.fixture(autouse=True)
-def _clear_jit_caches():
-    """Drop compiled-executable references after each conformance test.
-
-    Same rationale as tests/test_chain.py: these tests compile (or, with
-    the persistent cache, AOT-load) one large unrolled decoder program per
-    random config, and XLA:CPU's JIT maps all of them into one finite
-    contiguous code arena per process — letting them accumulate segfaults
-    a long-lived xdist worker (observed both as "Unable to allocate
-    section memory" at compile time and as a SIGSEGV inside the
-    compilation-cache read path at AOT-load time).  Per-test release lets
-    the arena recycle; the persistent cache still skips recompilation, so
-    the cost is only a disk re-read on the rare repeated config.
-    """
-    yield
-    jax.clear_caches()
+# Per-test jax.clear_caches() is repo-level now (tests/conftest.py autouse
+# fixture): these tests compile/AOT-load one large unrolled decoder program
+# per random config and were the original arena-overflow crash site; the
+# in-loop clears below additionally bound MULTI-config loops inside a
+# single test.
 
 
 def _random_config(rng):

@@ -299,7 +299,7 @@ def test_bench_sweep_golden():
                         "bench_sweep.json")
     golden = {r["name"]: r for r in json.load(open(path))["rows"]}
     check = ("flagship_esn0_+1.0", "bg2_z208_sumproduct_flooding",
-             "bg2_z72_packed_layered")
+             "bg2_z208_sumproduct_layered", "bg2_z72_packed_layered")
     rows = {r["name"]: r for r in sweep_rows() if r["name"] in check}
     failures = []
     for name in check:
