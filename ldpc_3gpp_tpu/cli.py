@@ -150,7 +150,7 @@ def snr_vs_a_main(argv=None):
         print(f"plot: {path}")
 
 
-def _soak(args, run):
+def _soak(args):
     """``ldpc-testbench --soak``: grow the differential-fuzz population.
 
     Runs ``--trials`` encode trials AND ``--trials`` decode trials for each
@@ -160,8 +160,16 @@ def _soak(args, run):
     tally at golden/soak_tally.json and prints the running totals.  Any
     mismatch aborts before the tally is written (the underlying testbench
     exits nonzero), so the tally only ever counts clean trials.
+
+    Each (seed, mode) runs in a FRESH subprocess: every random config is a
+    large XLA:CPU compile, and a single long-lived process eventually
+    exhausts the JIT's mmap budget even with periodic cache clears
+    (observed as "LLVM compilation error: Cannot allocate memory" ~100
+    decode trials in); process-per-run bounds that by construction.
     """
     import json
+    import subprocess
+    import sys as _sys
     import time
 
     from ldpc_3gpp_tpu.utils.fingerprint import semantics_fingerprint
@@ -183,7 +191,18 @@ def _soak(args, run):
     seeds = list(range(base, base + args.num_seeds))
     for seed in seeds:
         for mode in ([], ["--decode"]):
-            run(["--trials", str(args.trials), "--seed", str(seed)] + mode)
+            argv = ["--trials", str(args.trials), "--seed", str(seed)] + mode
+            r = subprocess.run(
+                [_sys.executable, "-c",
+                 "import sys; from ldpc_3gpp_tpu.cli import testbench_main;"
+                 " testbench_main(sys.argv[1:])", *argv],
+            )
+            if r.returncode != 0:
+                raise SystemExit(
+                    f"soak run failed (seed {seed}, mode "
+                    f"{'decode' if mode else 'encode'}): differential "
+                    f"mismatch or crash — tally NOT extended"
+                )
     tally["entries"].append({
         "seeds": seeds,
         "encode_trials": args.trials * len(seeds),
@@ -255,7 +274,7 @@ def testbench_main(argv=None):
                          "mode)")
     args = ap.parse_args(argv)
     if args.soak:
-        return _soak(args, lambda a: testbench_main(a))
+        return _soak(args)
     if args.seed is None:
         args.seed = 0
     if args.max_a is None:
