@@ -150,22 +150,26 @@ def snr_vs_a_main(argv=None):
         print(f"plot: {path}")
 
 
+#: trials per soak subprocess.  A decode trial's XLA:CPU compile maps
+#: 1,000-15,000 new sections, and the mappings LEAK (jax.clear_caches
+#: frees the executables but not their maps), so one process hits the
+#: kernel's vm.max_map_count (65,530 default) after ~14 big decode trials
+#: ("LLVM ERROR: Unable to allocate section memory!" — measured at
+#: maps=61.8k, round 5).  Chunks keep the worst case ~3x under the limit.
+_SOAK_CHUNK = {"encode": 25, "decode": 5}
+
+
 def _soak(args):
     """``ldpc-testbench --soak``: grow the differential-fuzz population.
 
-    Runs ``--trials`` encode trials AND ``--trials`` decode trials for each
-    of ``--num-seeds`` consecutive seeds (default: continuing from the
-    highest seed the tally has seen, so every soak run extends the
-    population with FRESH draws), then appends one entry to the cumulative
-    tally at golden/soak_tally.json and prints the running totals.  Any
-    mismatch aborts before the tally is written (the underlying testbench
-    exits nonzero), so the tally only ever counts clean trials.
-
-    Each (seed, mode) runs in a FRESH subprocess: every random config is a
-    large XLA:CPU compile, and a single long-lived process eventually
-    exhausts the JIT's mmap budget even with periodic cache clears
-    (observed as "LLVM compilation error: Cannot allocate memory" ~100
-    decode trials in); process-per-run bounds that by construction.
+    Runs ``--trials`` encode trials AND ``--trials`` decode trials, split
+    into small fresh-subprocess chunks (_SOAK_CHUNK each) with one
+    consecutive seed per chunk — by default continuing above the highest
+    seed the tally has seen, so every soak run extends the population with
+    FRESH draws.  On success, appends one entry to the cumulative tally at
+    golden/soak_tally.json and prints the running totals.  Any mismatch
+    aborts before the tally is written (the chunk subprocess exits
+    nonzero), so the tally only ever counts clean trials.
     """
     import json
     import subprocess
@@ -180,18 +184,21 @@ def _soak(args):
     tally = {"description": (
         "Cumulative differential-fuzz tally (ldpc-testbench --soak): every "
         "entry is a clean run of N encode + N decode trials vs the "
-        "independent C++ oracle at the recorded seeds; totals grow "
+        "independent C++ oracle at the recorded seed range; totals grow "
         "round-over-round (the pre-regen ritual, CLAUDE.md).  The "
         "semantics field records the decoder fingerprint each population "
         "segment was fuzzed at."), "entries": []}
     if os.path.exists(tally_path):
         tally = json.load(open(tally_path))
-    used = [s for e in tally["entries"] for s in e["seeds"]]
-    base = args.seed if args.seed is not None else (max(used, default=-1) + 1)
-    seeds = list(range(base, base + args.num_seeds))
-    for seed in seeds:
-        for mode in ([], ["--decode"]):
-            argv = ["--trials", str(args.trials), "--seed", str(seed)] + mode
+    used = [s for e in tally["entries"]
+            for s in range(e["seed_range"][0], e["seed_range"][1] + 1)]
+    seed = args.seed if args.seed is not None else (max(used, default=-1) + 1)
+    first = seed
+    for mode, flag in (("encode", []), ("decode", ["--decode"])):
+        left = args.trials
+        while left > 0:
+            n = min(_SOAK_CHUNK[mode], left)
+            argv = ["--trials", str(n), "--seed", str(seed)] + flag
             r = subprocess.run(
                 [_sys.executable, "-c",
                  "import sys; from ldpc_3gpp_tpu.cli import testbench_main;"
@@ -199,25 +206,28 @@ def _soak(args):
             )
             if r.returncode != 0:
                 raise SystemExit(
-                    f"soak run failed (seed {seed}, mode "
-                    f"{'decode' if mode else 'encode'}): differential "
-                    f"mismatch or crash — tally NOT extended"
+                    f"soak chunk failed ({mode}, seed {seed}, {n} trials): "
+                    "differential mismatch or crash — tally NOT extended"
                 )
+            left -= n
+            seed += 1
     tally["entries"].append({
-        "seeds": seeds,
-        "encode_trials": args.trials * len(seeds),
-        "decode_trials": args.trials * len(seeds),
+        "seed_range": [first, seed - 1],
+        "encode_trials": args.trials,
+        "decode_trials": args.trials,
         "semantics": semantics_fingerprint(),
         "date": time.strftime("%Y-%m-%d"),
     })
     enc = sum(e["encode_trials"] for e in tally["entries"])
     dec = sum(e["decode_trials"] for e in tally["entries"])
+    lo = min([e["seed_range"][0] for e in tally["entries"]])
+    hi = max([e["seed_range"][1] for e in tally["entries"]])
     with open(tally_path, "w") as f:
         json.dump(tally, f, indent=1)
         f.write("\n")
     print(f"SOAK TALLY: {enc} encode + {dec} decode clean differential "
-          f"trials across seeds {sorted(set(used + seeds))} "
-          f"(this run: seeds {seeds}, {args.trials}/mode/seed)")
+          f"trials across seeds {lo}..{hi} "
+          f"(this run: seeds {first}..{seed - 1}, {args.trials}/mode)")
 
 
 def testbench_main(argv=None):
@@ -263,15 +273,13 @@ def testbench_main(argv=None):
                     help="fuzz the symbol-level receive chain against the "
                          "C++ oracle instead")
     ap.add_argument("--soak", action="store_true",
-                    help="ritual mode: run encode AND decode fuzz over "
-                         "--num-seeds fresh seeds, then extend the "
+                    help="ritual mode: run --trials encode AND --trials "
+                         "decode fuzz trials in fresh-subprocess chunks "
+                         "over consecutive fresh seeds, then extend the "
                          "cumulative tally (golden/soak_tally.json).  The "
                          "pre-regen ritual: the differential population "
                          "keeps growing each round instead of being "
                          "re-argued (testbench.m's run-forever usage model)")
-    ap.add_argument("--num-seeds", type=int, default=2,
-                    help="seeds per --soak run (trials are per seed per "
-                         "mode)")
     args = ap.parse_args(argv)
     if args.soak:
         return _soak(args)

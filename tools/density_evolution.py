@@ -114,6 +114,12 @@ class Ensemble:
                           for r in range(self.n_rows)]
         self.col_edges = [np.nonzero(self.cols == c)[0]
                           for c in range(self.n_cols)]
+        # scatter-free assembly orders: concatenating per-row (per-col)
+        # outputs then gathering with the inverse permutation rebuilds the
+        # edge-indexed array — large XLA:TPU scatters at S >= ~1e5 faulted
+        # the TPU worker (measured round 5), gathers do not
+        self.row_inv = np.argsort(np.concatenate(self.row_edges))
+        self.col_inv = np.argsort(np.concatenate(self.col_edges))
 
 
 def nr_ensemble(bg, A, rate, name):
@@ -174,40 +180,47 @@ def _build_evolve(ens: Ensemble, S: int, iters_per_block: int):
             masks.append(mask)
         return jnp.stack(outs), jnp.stack(masks)
 
+    def shuffle(key, x):
+        """Decorrelate sample indices across edges: an independent random
+        cyclic roll per edge.  A full per-edge permutation (argsort) costs
+        ~100x more on TPU and measured identically on the (3,6) validation
+        row — what matters is that the RELATIVE alignment of any two edges
+        is fresh uniform every iteration, which independent rolls give."""
+        off = jax.random.randint(key, (E, 1), 0, S)
+        idx = (jnp.arange(S)[None, :] + off) % S
+        return jnp.take_along_axis(x, idx, axis=1)
+
     def one_iter(key, v, m):
-        # decorrelate: independent sample permutation per edge
-        perm = jnp.argsort(
-            jax.random.uniform(jax.random.fold_in(key, 0), (E, S)), axis=1
-        )
-        v = jnp.take_along_axis(v, perm, axis=1)
+        # decorrelate: independent random roll per edge
+        v = shuffle(jax.random.fold_in(key, 0), v)
         v = jnp.clip(v, -CAP, CAP)
-        # CN update (gamma domain, leave-one-out by sum subtraction)
+        # CN update (gamma domain, leave-one-out by sum subtraction);
+        # outputs assembled scatter-free (see Ensemble.row_inv)
         mag = phi(jnp.abs(v))
         neg = (v < 0).astype(jnp.float32)
-        u = jnp.zeros_like(v)
+        chunks = []
         for idx in ens.row_edges:
             msum = jnp.sum(mag[idx], axis=0, keepdims=True)
             nsum = jnp.sum(neg[idx], axis=0, keepdims=True)
             out_mag = phi(msum - mag[idx])
             out_sgn = 1.0 - 2.0 * ((nsum - neg[idx]) % 2.0)
-            u = u.at[idx].set(out_sgn * jnp.minimum(out_mag, CAP))
+            chunks.append(out_sgn * jnp.minimum(out_mag, CAP))
+        u = jnp.concatenate(chunks, axis=0)[ens.row_inv]
         # decorrelate the CN->VN messages too
-        perm2 = jnp.argsort(
-            jax.random.uniform(jax.random.fold_in(key, 1), (E, S)), axis=1
-        )
-        u = jnp.take_along_axis(u, perm2, axis=1)
+        u = shuffle(jax.random.fold_in(key, 1), u)
         # VN update with a fresh channel draw
         ch, chmask = channel(jax.random.fold_in(key, 2), m)
-        vnew = jnp.zeros_like(v)
+        chunks = []
         err_w = err_n = 0.0
         for c, idx in enumerate(ens.col_edges):
             usum = jnp.sum(u[idx], axis=0, keepdims=True)
-            vnew = vnew.at[idx].set(ch[c][None, :] + usum - u[idx])
+            chunks.append(ch[c][None, :] + usum - u[idx])
             if c in ens.info_cols:
                 app = ch[c] + usum[0]
                 bad = (app < 0).astype(jnp.float32) * chmask[c]
                 err_w = err_w + jnp.sum(bad)
                 err_n = err_n + jnp.sum(chmask[c].astype(jnp.float32))
+        vnew = jnp.concatenate(chunks, axis=0)[ens.col_inv]
         return jnp.clip(vnew, -CAP, CAP), err_w / jnp.maximum(err_n, 1.0)
 
     def block(key, v, m):
@@ -305,17 +318,98 @@ def sigma_from_esn0(db):
     return float(np.sqrt(10.0 ** (-db / 10.0)))
 
 
+def _make_ensemble(name):
+    if name == "reg36":
+        return reg36_ensemble(), None
+    if name == "bg1_r13":
+        return nr_ensemble(1, 8424, 1 / 3, "bg1_r13")
+    if name == "bg2_headline":
+        return nr_ensemble(2, 3842, 1 / 3, "bg2_headline")
+    raise SystemExit(f"unknown config {name}")
+
+
+def _eval_one(name, db, S, max_iters, p_target, iters_per_block=25):
+    """Single convergence evaluation (run in its own subprocess by the
+    driver: a sustained DE run can crash the remote TPU worker, which
+    kills the whole jax client — fresh process per eval + the persistent
+    compilation cache makes the sweep resilient and cheap to retry)."""
+    from ldpc_3gpp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    ens, _ = _make_ensemble(name)
+    fns = _build_evolve(ens, S, iters_per_block)
+    var = 10.0 ** (-db / 10.0)
+    good, it, pe = converges(ens, 2.0 / var, S, max_iters, p_target, 0,
+                             fns, iters_per_block)
+    print(json.dumps({"ok": bool(good), "it": int(it), "pe": float(pe)}))
+
+
+def _eval_subprocess(name, db, args, retries=2):
+    """Run one eval in a fresh subprocess; retry on crash."""
+    import subprocess
+    import sys as _sys
+
+    cmd = [_sys.executable, os.path.abspath(__file__), "--eval-one", name,
+           "--esn0", f"{db:.6f}", "--samples", str(args.samples),
+           "--max-iters", str(args.max_iters),
+           "--p-target", str(args.p_target)]
+    for attempt in range(retries + 1):
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                d = json.loads(line)
+                return d["ok"], d["it"], d["pe"]
+        print(f"  [eval subprocess died (attempt {attempt + 1}): "
+              f"{r.stderr.strip().splitlines()[-1][:120] if r.stderr else '?'}]",
+              flush=True)
+    raise SystemExit(f"eval {name} @ {db} dB failed {retries + 1} times")
+
+
+def find_threshold_subproc(name, args, start_db, verbose=True):
+    """Bracket + bisect Es/N0 with one subprocess per evaluation."""
+
+    def ev(db):
+        good, it, pe = _eval_subprocess(name, db, args)
+        if verbose:
+            print(f"  {name} {db:+.3f} dB: {'ok' if good else 'fail'} "
+                  f"it={it} Pe={pe:.2e}", flush=True)
+        return good
+
+    hi = start_db
+    while not ev(hi):
+        hi += 0.5
+    lo = hi - 0.5
+    while ev(lo):
+        hi = lo
+        lo -= 0.5
+    while hi - lo > args.tol_db:
+        mid = 0.5 * (lo + hi)
+        if ev(mid):
+            hi = mid
+        else:
+            lo = mid
+    return 0.5 * (lo + hi), hi - lo
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--configs", nargs="*",
                     default=["reg36", "bg1_r13", "bg2_headline"])
-    ap.add_argument("--samples", type=int, default=200_000)
+    ap.add_argument("--samples", type=int, default=100_000)
     ap.add_argument("--max-iters", type=int, default=600)
     ap.add_argument("--p-target", type=float, default=1e-4)
     ap.add_argument("--tol-db", type=float, default=0.02)
+    ap.add_argument("--eval-one", default=None,
+                    help="internal: run ONE convergence eval and print "
+                         "JSON (used by the subprocess driver)")
+    ap.add_argument("--esn0", type=float, default=None)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "golden", "de_thresholds.json"))
     args = ap.parse_args()
+    if args.eval_one:
+        _eval_one(args.eval_one, args.esn0, args.samples, args.max_iters,
+                  args.p_target)
+        return
 
     from ldpc_3gpp_tpu.utils.cache import enable_compilation_cache
 
@@ -327,10 +421,7 @@ def main():
     rows = {}
     for name in args.configs:
         if name == "reg36":
-            ens = reg36_ensemble()
-            thr, res = find_threshold(
-                ens, S=args.samples, max_iters=args.max_iters,
-                p_target=args.p_target, tol_db=args.tol_db, start_db=3.0)
+            thr, res = find_threshold_subproc(name, args, start_db=3.0)
             sigma = sigma_from_esn0(thr)
             rows[name] = {
                 "description": "(3,6)-regular BPSK/AWGN SP threshold — "
@@ -342,10 +433,8 @@ def main():
                 "resolution_db": res,
             }
         elif name == "bg1_r13":
-            ens, p = nr_ensemble(1, 8424, 1 / 3, "bg1_r13")
-            thr, res = find_threshold(
-                ens, S=args.samples, max_iters=args.max_iters,
-                p_target=args.p_target, tol_db=args.tol_db, start_db=1.0)
+            _, p = _make_ensemble(name)
+            thr, res = find_threshold_subproc(name, args, start_db=1.0)
             rows[name] = {
                 "description": "NR BG1 R=1/3 QPSK (flagship/SNR-vs-A "
                                "ensemble, A=8424 geometry: full buffer, "
@@ -354,10 +443,8 @@ def main():
                 "resolution_db": res, "Z": p.Z_c,
             }
         elif name == "bg2_headline":
-            ens, p = nr_ensemble(2, 3842, 1 / 3, "bg2_headline")
-            thr, res = find_threshold(
-                ens, S=args.samples, max_iters=args.max_iters,
-                p_target=args.p_target, tol_db=args.tol_db, start_db=1.0)
+            _, p = _make_ensemble(name)
+            thr, res = find_threshold_subproc(name, args, start_db=1.0)
             rows[name] = {
                 "description": "NR BG2 A=3842 R=1/3 QPSK (the headline "
                                "BLER golden's exact ensemble geometry: "
@@ -371,31 +458,33 @@ def main():
             raise SystemExit(f"unknown config {name}")
         print(json.dumps({name: rows[name]}), flush=True)
 
-    out = {
-        "description": (
-            "Monte-Carlo density-evolution SP thresholds (tools/"
-            "density_evolution.py): decoder-independent asymptotic "
-            "anchors for the measured golden curves, validated against "
-            "the published (3,6)-regular sigma*=0.8809 (Richardson & "
-            "Urbanke 2001).  Measured finite-length waterfalls must sit "
-            "ABOVE these and approach them as A grows "
-            "(tests/test_de_thresholds.py)."),
-        "samples": args.samples,
-        "max_iters": args.max_iters,
-        "p_target": args.p_target,
-        "backend": jax.default_backend(),
-        "semantics": semantics_fingerprint(),
-        "rows": rows,
-    }
-    if os.path.exists(args.out):  # merge partial re-runs
-        old = json.load(open(args.out))
-        merged = dict(old.get("rows", {}))
-        merged.update(rows)
-        out["rows"] = merged
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=1)
-        f.write("\n")
-    print(f"wrote {args.out}")
+        # incremental write after EVERY config (a TPU-worker crash midway
+        # must not lose completed thresholds); merges prior partial runs
+        out = {
+            "description": (
+                "Monte-Carlo density-evolution SP thresholds (tools/"
+                "density_evolution.py): decoder-independent asymptotic "
+                "anchors for the measured golden curves, validated "
+                "against the published (3,6)-regular sigma*=0.8809 "
+                "(Richardson & Urbanke 2001).  Measured finite-length "
+                "waterfalls must sit ABOVE these and approach them as A "
+                "grows (tests/test_de_thresholds.py)."),
+            "samples": args.samples,
+            "max_iters": args.max_iters,
+            "p_target": args.p_target,
+            "backend": jax.default_backend(),
+            "semantics": semantics_fingerprint(),
+            "rows": rows,
+        }
+        if os.path.exists(args.out):  # merge partial re-runs
+            old = json.load(open(args.out))
+            merged = dict(old.get("rows", {}))
+            merged.update(rows)
+            out["rows"] = merged
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+        print(f"wrote {args.out}", flush=True)
 
 
 if __name__ == "__main__":
