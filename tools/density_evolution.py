@@ -328,7 +328,12 @@ def _make_ensemble(name):
     raise SystemExit(f"unknown config {name}")
 
 
-def _eval_one(name, db, S, max_iters, p_target, iters_per_block=25):
+def _eval_one(name, db, S, max_iters, p_target, iters_per_block=20):
+    # iters_per_block bounds the SINGLE-dispatch execution time: ~100-it
+    # blocks on the 316-edge ensemble ran multi-minute XLA executions and
+    # reproducibly crashed the remote TPU worker ("kernel fault"); ~20-it
+    # blocks survive (measured round 5).  Short blocks cost one extra
+    # host fetch each — negligible vs the crash-retry cost.
     """Single convergence evaluation (run in its own subprocess by the
     driver: a sustained DE run can crash the remote TPU worker, which
     kills the whole jax client — fresh process per eval + the persistent
@@ -344,7 +349,7 @@ def _eval_one(name, db, S, max_iters, p_target, iters_per_block=25):
     print(json.dumps({"ok": bool(good), "it": int(it), "pe": float(pe)}))
 
 
-def _eval_subprocess(name, db, args, retries=2):
+def _eval_subprocess(name, db, args, retries=4):
     """Run one eval in a fresh subprocess; retry on crash."""
     import subprocess
     import sys as _sys
@@ -354,7 +359,15 @@ def _eval_subprocess(name, db, args, retries=2):
            "--max-iters", str(args.max_iters),
            "--p-target", str(args.p_target)]
     for attempt in range(retries + 1):
-        r = subprocess.run(cmd, capture_output=True, text=True)
+        try:
+            # hard per-eval timeout: a wedged TPU tunnel otherwise hangs
+            # the whole sweep (a stuck dispatch never raises)
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=2100)
+        except subprocess.TimeoutExpired:
+            print(f"  [eval subprocess timed out (attempt {attempt + 1})]",
+                  flush=True)
+            continue
         for line in r.stdout.splitlines():
             if line.startswith("{"):
                 d = json.loads(line)
