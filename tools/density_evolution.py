@@ -338,6 +338,14 @@ def _eval_one(name, db, S, max_iters, p_target, iters_per_block=20):
     driver: a sustained DE run can crash the remote TPU worker, which
     kills the whole jax client — fresh process per eval + the persistent
     compilation cache makes the sweep resilient and cheap to retry)."""
+    # honor JAX_PLATFORMS via the config knob: the axon TPU plugin ignores
+    # the env var (CLAUDE.md), and DE is backend-independent math — running
+    # on CPU avoids the tunnel entirely when the env asks for it
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        import jax
+
+        jax.config.update("jax_platforms", env_platforms)
     from ldpc_3gpp_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -423,6 +431,13 @@ def main():
         _eval_one(args.eval_one, args.esn0, args.samples, args.max_iters,
                   args.p_target)
         return
+    # the driver also touches jax (backend stamp); honor JAX_PLATFORMS the
+    # same way _eval_one does, or the axon plugin attaches to the tunnel
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", env_platforms)
 
     from ldpc_3gpp_tpu.utils.cache import enable_compilation_cache
 
