@@ -60,8 +60,11 @@ def _clear_jax_caches_after_every_test():
     Cost: in-memory executable reuse across tests is lost, but tests jit
     through fresh closures/partials (no cross-test pjit cache hits anyway)
     and the persistent .jax_cache turns any repeat into a disk read.
-    Measured warm quick tier: no regression vs the module-scope clear
-    (1:52 -> 1:50 on this box).
+    Measured round 5 with this fixture: full suite 15:28-17:41 warm over
+    4 consecutive clean runs (round-4 module-scope baseline: 18:55), with
+    per-worker map counts sampled through a run oscillating ~1k-28k —
+    ~2.3x under the 65,530 vm.max_map_count ceiling the crash lives at
+    (CLAUDE.md).
     """
     yield
     import jax
