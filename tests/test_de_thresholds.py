@@ -67,6 +67,29 @@ def test_snr_vs_a_curve_converges_to_bg1_threshold(de):
     )
 
 
+def test_nms_threshold_anchors_min_sum_surface(de):
+    """The normalized-min-sum DE threshold (alpha=0.8125, the decoders'
+    default) must sit ABOVE the sum-product threshold by roughly the
+    measured NMS penalty, and the measured min-sum surface (50-it NMS,
+    BG1 R=1/3 at BLER 1e-2) must sit above it with the same
+    converging-gap structure as the SP family."""
+    thr_nms = de["rows"]["bg1_r13_nms"]["threshold_esn0_db"]
+    thr_sp = de["rows"]["bg1_r13"]["threshold_esn0_db"]
+    # NMS loses information at the check nodes: its threshold is strictly
+    # worse; the measured per-point penalty at this rate is 0.75-0.92 dB
+    # (VALIDATION.md section 4), so the asymptotic penalty must be
+    # positive and of that order
+    assert 0.2 < thr_nms - thr_sp < 1.5, (thr_nms, thr_sp)
+    g = json.load(open(os.path.join(GOLDEN, "SNR_vs_A_surface.json")))
+    req = np.asarray(
+        g["curves"]["min-sum/0.333333"]["required_esn0_db_at_0.01"], float)
+    gaps = req - thr_nms
+    assert (gaps > 0).all(), (
+        f"measured NMS surface beat its asymptotic threshold {thr_nms} dB"
+    )
+    assert gaps[-1] < 0.8 and gaps[-1] < 0.6 * gaps[0], (req, thr_nms)
+
+
 def test_headline_waterfall_sits_above_bg2_threshold(de):
     thr = de["rows"]["bg2_headline"]["threshold_esn0_db"]
     g = json.load(open(os.path.join(

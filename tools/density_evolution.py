@@ -100,14 +100,17 @@ def column_classes(params):
 
 
 class Ensemble:
-    """Protograph + channel-class model for one DE run."""
+    """Protograph + channel-class + BP-variant model for one DE run."""
 
-    def __init__(self, rows, cols, classes, info_cols, name):
+    def __init__(self, rows, cols, classes, info_cols, name,
+                 algorithm="sum-product", alpha=0.8125):
         self.rows = np.asarray(rows, np.int32)
         self.cols = np.asarray(cols, np.int32)
         self.classes = classes  # per column: [(fraction, kind)]
         self.info_cols = list(info_cols)
         self.name = name
+        self.algorithm = algorithm  # 'sum-product' | 'min-sum' (normalized)
+        self.alpha = float(alpha)  # NMS normalization (decoder default)
         self.n_rows = int(self.rows.max()) + 1
         self.n_cols = int(self.cols.max()) + 1
         self.row_edges = [np.nonzero(self.rows == r)[0]
@@ -122,7 +125,7 @@ class Ensemble:
         self.col_inv = np.argsort(np.concatenate(self.col_edges))
 
 
-def nr_ensemble(bg, A, rate, name):
+def nr_ensemble(bg, A, rate, name, algorithm="sum-product"):
     from ldpc_3gpp_tpu.spec.params import LDPCParams
     from ldpc_3gpp_tpu.spec.tables import base_graph
 
@@ -130,7 +133,8 @@ def nr_ensemble(bg, A, rate, name):
     p = LDPCParams(BG=bg, A=A, G=G, Q_m=2)
     rows, cols, _ = base_graph(bg, p.i_LS)
     return Ensemble(rows, cols, column_classes(p),
-                    info_cols=range(p.num_sys_cols), name=name), p
+                    info_cols=range(p.num_sys_cols), name=name,
+                    algorithm=algorithm), p
 
 
 def reg36_ensemble():
@@ -194,17 +198,41 @@ def _build_evolve(ens: Ensemble, S: int, iters_per_block: int):
         # decorrelate: independent random roll per edge
         v = shuffle(jax.random.fold_in(key, 0), v)
         v = jnp.clip(v, -CAP, CAP)
-        # CN update (gamma domain, leave-one-out by sum subtraction);
-        # outputs assembled scatter-free (see Ensemble.row_inv)
-        mag = phi(jnp.abs(v))
+        # CN update, assembled scatter-free (see Ensemble.row_inv):
+        # sum-product in the gamma domain (leave-one-out by sum
+        # subtraction), normalized min-sum by leave-one-out prefix/suffix
+        # mins — the same update rules the decoders implement, evolved on
+        # the protograph.
         neg = (v < 0).astype(jnp.float32)
         chunks = []
-        for idx in ens.row_edges:
-            msum = jnp.sum(mag[idx], axis=0, keepdims=True)
-            nsum = jnp.sum(neg[idx], axis=0, keepdims=True)
-            out_mag = phi(msum - mag[idx])
-            out_sgn = 1.0 - 2.0 * ((nsum - neg[idx]) % 2.0)
-            chunks.append(out_sgn * jnp.minimum(out_mag, CAP))
+        if ens.algorithm == "sum-product":
+            mag = phi(jnp.abs(v))
+            for idx in ens.row_edges:
+                msum = jnp.sum(mag[idx], axis=0, keepdims=True)
+                nsum = jnp.sum(neg[idx], axis=0, keepdims=True)
+                out_mag = phi(msum - mag[idx])
+                out_sgn = 1.0 - 2.0 * ((nsum - neg[idx]) % 2.0)
+                chunks.append(out_sgn * jnp.minimum(out_mag, CAP))
+        else:  # normalized min-sum (alpha * sign_loo * min_loo|v|)
+            mag = jnp.abs(v)
+            big = jnp.float32(1e30)
+            for idx in ens.row_edges:
+                a = mag[idx]  # (d, S)
+                d = a.shape[0]
+                pre = jnp.concatenate(
+                    [jnp.full((1,) + a.shape[1:], big),
+                     jax.lax.associative_scan(jnp.minimum, a, axis=0)[:-1]],
+                    axis=0)
+                suf = jnp.concatenate(
+                    [jax.lax.associative_scan(
+                        jnp.minimum, a[::-1], axis=0)[:-1][::-1],
+                     jnp.full((1,) + a.shape[1:], big)],
+                    axis=0)
+                min_loo = jnp.minimum(pre, suf)
+                nsum = jnp.sum(neg[idx], axis=0, keepdims=True)
+                out_sgn = 1.0 - 2.0 * ((nsum - neg[idx]) % 2.0)
+                chunks.append(ens.alpha * out_sgn
+                              * jnp.minimum(min_loo, CAP))
         u = jnp.concatenate(chunks, axis=0)[ens.row_inv]
         # decorrelate the CN->VN messages too
         u = shuffle(jax.random.fold_in(key, 1), u)
@@ -323,6 +351,9 @@ def _make_ensemble(name):
         return reg36_ensemble(), None
     if name == "bg1_r13":
         return nr_ensemble(1, 8424, 1 / 3, "bg1_r13")
+    if name == "bg1_r13_nms":
+        return nr_ensemble(1, 8424, 1 / 3, "bg1_r13_nms",
+                           algorithm="min-sum")
     if name == "bg2_headline":
         return nr_ensemble(2, 3842, 1 / 3, "bg2_headline")
     raise SystemExit(f"unknown config {name}")
@@ -469,6 +500,19 @@ def main():
                                "no fillers)",
                 "threshold_esn0_db": round(thr, 3),
                 "resolution_db": res, "Z": p.Z_c,
+            }
+        elif name == "bg1_r13_nms":
+            _, p = _make_ensemble(name)
+            thr, res = find_threshold_subproc(name, args, start_db=1.0)
+            rows[name] = {
+                "description": "NR BG1 R=1/3 QPSK under NORMALIZED "
+                               "MIN-SUM (alpha=0.8125, the decoders' "
+                               "default) — the asymptotic anchor for the "
+                               "min-sum half of the measured SNR-vs-A "
+                               "surface",
+                "threshold_esn0_db": round(thr, 3),
+                "resolution_db": res, "Z": p.Z_c,
+                "algorithm": "min-sum", "alpha": 0.8125,
             }
         elif name == "bg2_headline":
             _, p = _make_ensemble(name)
