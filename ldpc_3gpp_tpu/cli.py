@@ -445,9 +445,16 @@ def plot_results_main(argv=None):
     ap.add_argument("files", nargs="+", help="results/*.txt files")
     ap.add_argument("--out", default="results/overlay.png")
     ap.add_argument("--title", default="3GPP New Radio LDPC code, AWGN")
+    ap.add_argument("--vline", action="append", default=[],
+                    help="dashed reference line '<x>[:<label>]' — e.g. a "
+                         "density-evolution threshold from "
+                         "golden/de_thresholds.json next to its measured "
+                         "waterfall (drawn horizontal on SNR-vs-A "
+                         "figures, where the threshold is the asymptote)")
     args = ap.parse_args(argv)
 
     from ldpc_3gpp_tpu.utils.plotting import plot_results_files
 
-    path = plot_results_files(args.files, args.out, args.title)
+    path = plot_results_files(args.files, args.out, args.title,
+                              vlines=args.vline)
     print(f"plot: {path}")

@@ -93,6 +93,7 @@ def plot_results_files(
     files: List[str],
     out_path: str = "results/overlay.png",
     title: str = "3GPP New Radio LDPC code, AWGN",
+    vlines: List[str] = (),
 ) -> str:
     """Overlay reference-format results files on one figure.
 
@@ -105,6 +106,14 @@ def plot_results_files(
     ``#``-prefixed annotation lines (e.g. capped-point markers) are
     skipped.  The file kind is inferred from the basename; mixing kinds on
     one figure is rejected.
+
+    ``vlines``: reference abscissas drawn as dashed vertical lines, each
+    ``"<x>:<label>"`` (or just ``"<x>"``) — e.g. a density-evolution
+    threshold from golden/de_thresholds.json next to its measured
+    waterfall (``--vline=-1.977:'DE threshold'``), or on an SNR-vs-A
+    figure a horizontal asymptote is more natural, so for that kind the
+    value is drawn as a dashed HORIZONTAL line instead (required-Es/N0
+    curves approach the threshold from above).
     """
     import matplotlib
 
@@ -153,6 +162,15 @@ def plot_results_files(
     else:
         ax.set_xlabel("A (information bits)")
         ax.set_ylabel("required $E_s/N_0$ [dB]")
+    for spec in vlines:
+        val, _, lab = str(spec).partition(":")
+        x = float(val)
+        if kind == "bler":
+            ax.axvline(x, linestyle="--", color="k", alpha=0.6,
+                       label=lab or f"x={x:g}")
+        else:
+            ax.axhline(x, linestyle="--", color="k", alpha=0.6,
+                       label=lab or f"y={x:g}")
     ax.set_title(title)
     ax.grid(True, which="both", alpha=0.4)
     ax.legend(loc="best", fontsize=7)
