@@ -67,6 +67,22 @@ def test_snr_vs_a_curve_converges_to_bg1_threshold(de):
     )
 
 
+def test_high_rate_corner_anchored(de):
+    """BG1 R=2/3 (the surface's high-rate corner, where only ~half the
+    circular buffer is transmitted): the DE channel-class model's
+    puncture-heaviest regime must show the same above-threshold,
+    gap-converging structure as R=1/3 — a rate-matching modeling error
+    (wrong transmitted-column coverage) would break this first."""
+    thr = de["rows"]["bg1_r23"]["threshold_esn0_db"]
+    g = json.load(open(os.path.join(GOLDEN, "SNR_vs_A_surface.json")))
+    req = np.asarray(
+        g["curves"]["sum-product/0.666667"]["required_esn0_db_at_0.01"],
+        float)
+    gaps = req - thr
+    assert (gaps > 0).all(), (req, thr)
+    assert gaps[-1] < 0.8 and gaps[-1] < 0.6 * gaps[0], (req, thr)
+
+
 def test_nms_threshold_anchors_min_sum_surface(de):
     """The normalized-min-sum DE threshold (alpha=0.8125, the decoders'
     default) must sit ABOVE the sum-product threshold by roughly the

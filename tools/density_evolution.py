@@ -354,6 +354,8 @@ def _make_ensemble(name):
     if name == "bg1_r13_nms":
         return nr_ensemble(1, 8424, 1 / 3, "bg1_r13_nms",
                            algorithm="min-sum")
+    if name == "bg1_r23":
+        return nr_ensemble(1, 8424, 2 / 3, "bg1_r23")
     if name == "bg2_headline":
         return nr_ensemble(2, 3842, 1 / 3, "bg2_headline")
     raise SystemExit(f"unknown config {name}")
@@ -513,6 +515,18 @@ def main():
                 "threshold_esn0_db": round(thr, 3),
                 "resolution_db": res, "Z": p.Z_c,
                 "algorithm": "min-sum", "alpha": 0.8125,
+            }
+        elif name == "bg1_r23":
+            _, p = _make_ensemble(name)
+            thr, res = find_threshold_subproc(name, args, start_db=4.0)
+            rows[name] = {
+                "description": "NR BG1 R=2/3 QPSK (the surface's high-rate "
+                               "corner: only ~half the circular buffer is "
+                               "transmitted, so this anchors the DE "
+                               "channel-class model in its puncture-"
+                               "heaviest regime)",
+                "threshold_esn0_db": round(thr, 3),
+                "resolution_db": res, "Z": p.Z_c,
             }
         elif name == "bg2_headline":
             _, p = _make_ensemble(name)
