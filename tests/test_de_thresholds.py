@@ -83,6 +83,20 @@ def test_high_rate_corner_anchored(de):
     assert gaps[-1] < 0.8 and gaps[-1] < 0.6 * gaps[0], (req, thr)
 
 
+def test_low_rate_repetition_corner_anchored(de):
+    """BG1 R=1/5 (the surface's low-rate corner): G > N_cb wraps the
+    circular buffer, so most positions transmit TWICE — the only regime
+    exercising the k>1 repetition channel classes (Chase-combined
+    LLR ~ N(2m, 4m)).  Same above-threshold converging-gap structure."""
+    thr = de["rows"]["bg1_r15"]["threshold_esn0_db"]
+    g = json.load(open(os.path.join(GOLDEN, "SNR_vs_A_surface.json")))
+    req = np.asarray(
+        g["curves"]["sum-product/0.2"]["required_esn0_db_at_0.01"], float)
+    gaps = req - thr
+    assert (gaps > 0).all(), (req, thr)
+    assert gaps[-1] < 0.8 and gaps[-1] < 0.6 * gaps[0], (req, thr)
+
+
 def test_nms_threshold_anchors_min_sum_surface(de):
     """The normalized-min-sum DE threshold (alpha=0.8125, the decoders'
     default) must sit ABOVE the sum-product threshold by roughly the

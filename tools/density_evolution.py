@@ -356,6 +356,8 @@ def _make_ensemble(name):
                            algorithm="min-sum")
     if name == "bg1_r23":
         return nr_ensemble(1, 8424, 2 / 3, "bg1_r23")
+    if name == "bg1_r15":
+        return nr_ensemble(1, 8424, 0.2, "bg1_r15")
     if name == "bg2_headline":
         return nr_ensemble(2, 3842, 1 / 3, "bg2_headline")
     raise SystemExit(f"unknown config {name}")
@@ -525,6 +527,19 @@ def main():
                                "transmitted, so this anchors the DE "
                                "channel-class model in its puncture-"
                                "heaviest regime)",
+                "threshold_esn0_db": round(thr, 3),
+                "resolution_db": res, "Z": p.Z_c,
+            }
+        elif name == "bg1_r15":
+            _, p = _make_ensemble(name)
+            thr, res = find_threshold_subproc(name, args, start_db=-2.0)
+            rows[name] = {
+                "description": "NR BG1 R=1/5 QPSK (the surface's low-rate "
+                               "corner: G=42120 > N_cb, so the circular "
+                               "buffer WRAPS and most positions transmit "
+                               "twice — the only regime exercising the "
+                               "k>1 repetition channel classes, Chase-"
+                               "combined LLR ~ N(2m, 4m))",
                 "threshold_esn0_db": round(thr, 3),
                 "resolution_db": res, "Z": p.Z_c,
             }
